@@ -1,0 +1,204 @@
+"""Shared transformer building blocks (flax.linen).
+
+Covers the blocks the reference repeats across SegNetViT / GML / AdaGML
+(nets/segnetvit.py:15-107, nets/gml.py:49-187): interleaved-pair rotary
+embedding driven by a learnable Fourier projection of keypoint coordinates,
+and the self-/cross-attention blocks with concat-MLP residual updates.
+
+All attention here is dense O(N²) over <=4096 keypoint tokens — small enough
+that a single fused XLA attention (one MXU matmul per side) beats any clever
+sparsity; masking handles padding. Parameter layouts mirror the torch modules
+one-to-one so checkpoints convert losslessly (see models/convert.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    """Interleaved-pair rotation: (x0, x1, x2, x3, ...) -> (-x1, x0, -x3, x2, ...).
+
+    Matches nets/segnetvit.py:15-18 (unflatten into pairs, swap & negate).
+    """
+    xp = x.reshape(*x.shape[:-1], -1, 2)
+    x1, x2 = xp[..., 0], xp[..., 1]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def apply_rotary(freqs: Tuple[jax.Array, jax.Array], t: jax.Array) -> jax.Array:
+    """Apply cached rotary embedding: t*cos + rotate_half(t)*sin.
+
+    ``freqs`` = (cos, sin), each ``[B, 1, N, head_dim]`` broadcasting over the
+    head axis of ``t`` ``[B, H, N, head_dim]`` (nets/segnetvit.py:21-23).
+    """
+    cos, sin = freqs
+    return t * cos + rotate_half(t) * sin
+
+
+class LearnableFourierPE(nn.Module):
+    """Learnable Fourier positional encoding producing rotary (cos, sin).
+
+    Reference: nets/segnetvit.py:26-40. A bias-free linear projects the
+    M-dim position to F_dim/2 frequencies; cos/sin are duplicated per rotary
+    pair (repeat_interleave(2) on the last axis).
+    """
+
+    f_dim: int  # full head dim (output is duplicated pairs of f_dim // 2)
+    gamma: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        # x: [B, N, M] normalized keypoint coords
+        proj = nn.Dense(
+            self.f_dim // 2,
+            use_bias=False,
+            kernel_init=nn.initializers.normal(self.gamma**-2),
+            name="Wr",
+        )(x)
+        cos = jnp.cos(proj)
+        sin = jnp.sin(proj)
+        # duplicate each frequency for the interleaved rotary pairs
+        cos = jnp.repeat(cos, 2, axis=-1)[:, None]  # [B, 1, N, f_dim]
+        sin = jnp.repeat(sin, 2, axis=-1)[:, None]
+        return cos, sin
+
+
+def masked_softmax(
+    logits: jax.Array, mask: Optional[jax.Array], axis: int = -1
+) -> jax.Array:
+    """Softmax with a key-validity mask (True = valid).
+
+    Masked positions get -1e9 before the softmax; if a whole row is masked the
+    result is uniform (harmless: such rows are themselves masked downstream).
+    """
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.asarray(-1e9, logits.dtype))
+    return jax.nn.softmax(logits, axis=axis)
+
+
+class SelfAttentionBlock(nn.Module):
+    """Self-attention block with rotary encoding and concat-MLP residual.
+
+    Reference: nets/segnetvit.py:79-106 / nets/gml.py:110-140. The fused qkv
+    projection keeps the torch layout ``[..., heads, head_dim, 3]`` so
+    converted weights slice identically.
+    """
+
+    feat_dim: int
+    hidden_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        encoding: Optional[Tuple[jax.Array, jax.Array]] = None,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, n, _ = x.shape
+        h = self.num_heads
+        hd = self.hidden_dim // h
+
+        qkv = nn.Dense(self.hidden_dim * 3, name="qkv")(x)
+        qkv = qkv.reshape(b, n, h, hd, 3)
+        qkv = jnp.moveaxis(qkv, 2, 1)  # [B, H, N, hd, 3]
+        q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+        if encoding is not None:
+            q = apply_rotary(encoding, q)
+            k = apply_rotary(encoding, k)
+
+        scale = hd**-0.5
+        logits = jnp.einsum(
+            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        key_mask = None if mask is None else mask[:, None, None, :]
+        attn = masked_softmax(logits, key_mask).astype(v.dtype)
+        msg = jnp.einsum(
+            "bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        msg = jnp.moveaxis(msg, 1, 2).reshape(b, n, self.hidden_dim)
+        msg = nn.Dense(self.hidden_dim, name="proj")(msg)
+
+        y = jnp.concatenate([x, msg], axis=-1)
+        y = nn.Dense(self.feat_dim * 2, name="mlp_0")(y)
+        y = nn.LayerNorm(name="mlp_ln")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.feat_dim, name="mlp_3")(y)
+        return x + y
+
+
+class CrossAttentionBlock(nn.Module):
+    """Symmetric cross-attention with shared QK projection.
+
+    Reference: nets/gml.py:143-186. Both sides share ``to_qk``; the similarity
+    is computed once and softmaxed along each axis for the two directions.
+    """
+
+    feat_dim: int
+    hidden_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x0: jax.Array,
+        x1: jax.Array,
+        mask0: Optional[jax.Array] = None,
+        mask1: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        b, n0, _ = x0.shape
+        n1 = x1.shape[1]
+        h = self.num_heads
+        hd = self.hidden_dim // h
+        scale = hd**-0.5
+
+        to_qk = nn.Dense(self.hidden_dim, name="to_qk")
+        to_v = nn.Dense(self.hidden_dim, name="to_v")
+        proj = nn.Dense(self.hidden_dim, name="proj")
+        mlp_0 = nn.Dense(self.feat_dim * 2, name="mlp_0")
+        mlp_ln = nn.LayerNorm(name="mlp_ln")
+        mlp_3 = nn.Dense(self.feat_dim, name="mlp_3")
+
+        def split_heads(t, n):
+            return jnp.moveaxis(t.reshape(b, n, h, hd), 2, 1)
+
+        qk0 = split_heads(to_qk(x0), n0) * scale**0.5
+        qk1 = split_heads(to_qk(x1), n1) * scale**0.5
+        v0 = split_heads(to_v(x0), n0)
+        v1 = split_heads(to_v(x1), n1)
+
+        sim = jnp.einsum(
+            "bhid,bhjd->bhij", qk0, qk1, preferred_element_type=jnp.float32
+        )
+        attn01 = masked_softmax(
+            sim, None if mask1 is None else mask1[:, None, None, :], axis=-1
+        ).astype(v1.dtype)
+        attn10 = masked_softmax(
+            sim, None if mask0 is None else mask0[:, None, :, None], axis=-2
+        ).astype(v0.dtype)
+        m0 = jnp.einsum(
+            "bhij,bhjd->bhid", attn01, v1, preferred_element_type=jnp.float32
+        ).astype(x0.dtype)
+        m1 = jnp.einsum(
+            "bhij,bhid->bhjd", attn10, v0, preferred_element_type=jnp.float32
+        ).astype(x1.dtype)
+
+        def merge(t, n):
+            return jnp.moveaxis(t, 1, 2).reshape(b, n, self.hidden_dim)
+
+        m0 = proj(merge(m0, n0))
+        m1 = proj(merge(m1, n1))
+
+        def mlp(x, m):
+            y = jnp.concatenate([x, m], axis=-1)
+            y = mlp_0(y)
+            y = mlp_ln(y)
+            y = nn.gelu(y, approximate=False)
+            return mlp_3(y)
+
+        return x0 + mlp(x0, m0), x1 + mlp(x1, m1)

@@ -1,0 +1,105 @@
+"""Fixed-shape keypoint selection from NMS'd score maps.
+
+The reference extracts a *variable-length* keypoint list per image
+(threshold -> border removal -> top-k, nets/sfd2.py:269-346). On TPU we keep
+shapes static: always return exactly ``max_keypoints`` slots with a validity
+mask. The selected *set* is identical whenever the number of above-threshold
+in-border maxima is <= max_keypoints, and is the top-scoring subset otherwise —
+the same semantics as the reference's top-k truncation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class Keypoints(NamedTuple):
+    """A fixed-size batch of keypoints with validity mask.
+
+    Attributes:
+      xy: ``[..., K, 2]`` float (x, y) pixel coordinates.
+      scores: ``[..., K]`` detection scores (0 for invalid slots).
+      mask: ``[..., K]`` bool validity.
+    """
+
+    xy: jax.Array
+    scores: jax.Array
+    mask: jax.Array
+
+
+def _border_mask(h: int, w: int, border: int, dtype) -> jax.Array:
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    my = (ys >= border) & (ys < h - border)
+    mx = (xs >= border) & (xs < w - border)
+    return (my[:, None] & mx[None, :]).astype(dtype)
+
+
+def extract_keypoints(
+    nms_scores: jax.Array,
+    *,
+    max_keypoints: int,
+    conf_th: float = 0.005,
+    border: int = 4,
+    min_keypoints: int = 128,
+) -> Keypoints:
+    """Select up to ``max_keypoints`` top maxima above an adaptive threshold.
+
+    Mirrors the reference pipeline (nets/sfd2.py:304-329): threshold at
+    ``conf_th``; if that yields <= ``min_keypoints`` points the threshold is
+    halved (adaptive fallback); points within ``border`` of the edge are
+    removed; the top-``max_keypoints`` by score are kept. Returned coordinates
+    are (x, y) floats.
+
+    Args:
+      nms_scores: ``[B, H, W]`` NMS'd score map.
+      max_keypoints: static output size K.
+      conf_th: detection threshold.
+      border: border margin in pixels.
+      min_keypoints: fallback trigger count.
+    """
+    b, h, w = nms_scores.shape
+    bm = _border_mask(h, w, border, nms_scores.dtype)
+    bordered = nms_scores * bm[None]
+
+    flat = bordered.reshape(b, h * w)
+    vals, idx = lax.top_k(flat, max_keypoints)
+    ys = (idx // w).astype(nms_scores.dtype)
+    xs = (idx % w).astype(nms_scores.dtype)
+    xy = jnp.stack([xs, ys], axis=-1)
+
+    # Adaptive threshold: the reference counts above-threshold maxima *before*
+    # border removal when deciding to fall back (nets/sfd2.py:311-315).
+    n_above = jnp.sum(
+        (nms_scores >= conf_th).reshape(b, -1).astype(jnp.int32), axis=-1
+    )
+    th = jnp.where(n_above <= min_keypoints, conf_th * 0.5, conf_th)
+    mask = vals >= th[:, None]
+    # Guard against all-zero maps selecting score-0 slots.
+    mask = mask & (vals > 0)
+    return Keypoints(xy=xy, scores=vals * mask, mask=mask)
+
+
+def normalize_keypoints(kpts: jax.Array, image_hw) -> jax.Array:
+    """Center-and-scale keypoints as the reference does (nets/utils.py:17-24).
+
+    Args:
+      kpts: ``[..., N, 2]`` (x, y) pixel coordinates.
+      image_hw: (height, width) of the source image; python ints or scalar
+        arrays (broadcastable).
+
+    Returns:
+      ``[..., N, 2]`` coordinates centered at the image center and divided by
+      0.7 * max(W, H).
+    """
+    height, width = image_hw
+    size = jnp.stack(
+        [jnp.asarray(width, kpts.dtype), jnp.asarray(height, kpts.dtype)]
+    )
+    center = size / 2
+    scaling = jnp.max(size) * 0.7
+    return (kpts - center) / scaling
