@@ -1,0 +1,335 @@
+"""AdaGML — GML with adaptive token pooling / early stopping (IMP, CVPR'23).
+
+TPU-native rebuild of the reference's AdaGML (nets/adagml.py:232-536). The
+reference *gathers* confident tokens into shrinking dynamic-shape tensors and
+breaks out of the layer loop; that is untraceable under XLA. Here the same
+algorithm is expressed with static shapes:
+
+- per-layer attention statistics (mean attention received by each token from
+  self- and cross-attention, nets/adagml.py:148,229) feed a PoolingLayer
+  that predicts per-token confidence;
+- low-confidence tokens are *masked out* rather than gathered out (identical
+  downstream effect: they stop contributing attention mass and are excluded
+  from matching, with the n_min_tokens floor honoured);
+- the stop condition (>=95% of original tokens confident after layer>=1,
+  nets/adagml.py:522-531) freezes descriptors instead of breaking, and the
+  matched output projection of the stopping layer is selected with a one-hot
+  contraction.
+
+Result: the plan restricted to surviving tokens matches the reference's
+pruned computation up to attention renormalization over the pruned set (the
+reference recomputes softmax over survivors; so does masking).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from pram_tpu.models.common import (
+    LearnableFourierPE,
+    apply_rotary,
+    masked_softmax,
+)
+from pram_tpu.ops.matching import MatchResult, mutual_matches
+from pram_tpu.ops.sinkhorn import dual_softmax_matching, sinkhorn_matching
+
+
+@dataclass
+class AdaGMLConfig:
+    """Defaults = reference nets/adagml.py:233-249."""
+
+    descriptor_dim: int = 128
+    hidden_dim: int = 256
+    num_heads: int = 4
+    n_layers: int = 9
+    sinkhorn_iterations: int = 20
+    match_threshold: float = 0.2
+    n_min_tokens: int = 256
+    min_confidence: float = 0.9
+    with_sinkhorn: bool = True
+    stop_ratio: float = 0.95
+    adaptive: bool = True  # disable to run as plain GML with pooling heads
+
+
+def confidence_threshold(layer_index: int, n_layers: int) -> float:
+    """Layer-scaled confidence threshold (nets/adagml.py:516-520)."""
+    return float(np.clip(0.5 + 0.1 * np.exp(-4.0 * layer_index / n_layers), 0, 1))
+
+
+class PoolingLayer(nn.Module):
+    """Token-confidence predictor from features + attention stats.
+
+    Reference: nets/adagml.py:114-138.
+    """
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, score: jax.Array) -> jax.Array:
+        s = nn.Dense(self.hidden_dim, name="score_enc_0")(score)
+        s = nn.LayerNorm(name="score_enc_ln")(s)
+        s = nn.gelu(s, approximate=False)
+        s = nn.Dense(self.hidden_dim, name="score_enc_3")(s)
+        xp = nn.Dense(self.hidden_dim, name="proj")(x)
+        y = jnp.concatenate([xp, s], axis=-1)
+        y = nn.Dense(self.hidden_dim, name="predict_0")(y)
+        y = nn.LayerNorm(name="predict_ln")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(1, name="predict_3")(y)
+        return jax.nn.sigmoid(y)[..., 0]
+
+
+class _SelfAttnStats(nn.Module):
+    """Self-attention block that also returns mean attention received per key.
+
+    Reference: nets/adagml.py:141-183 (same block as GML's, plus the
+    mean-over-heads, mean-over-queries attention statistic).
+    """
+
+    feat_dim: int
+    hidden_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, encoding, mask):
+        b, n, _ = x.shape
+        h = self.num_heads
+        hd = self.hidden_dim // h
+        qkv = nn.Dense(self.hidden_dim * 3, name="qkv")(x)
+        qkv = jnp.moveaxis(qkv.reshape(b, n, h, hd, 3), 2, 1)
+        q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+        if encoding is not None:
+            q = apply_rotary(encoding, q)
+            k = apply_rotary(encoding, k)
+        logits = jnp.einsum(
+            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        attn = masked_softmax(
+            logits, None if mask is None else mask[:, None, None, :]
+        ).astype(v.dtype)
+        # mean over heads then over (valid) query rows -> per-key stat
+        stat = jnp.mean(attn, axis=1)  # [B, Nq, Nk]
+        if mask is None:
+            stat = jnp.mean(stat, axis=1)
+        else:
+            qm = mask.astype(stat.dtype)[:, :, None]
+            stat = jnp.sum(stat * qm, axis=1) / jnp.maximum(
+                jnp.sum(qm, axis=1), 1.0
+            )
+        msg = jnp.einsum(
+            "bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        msg = jnp.moveaxis(msg, 1, 2).reshape(b, n, self.hidden_dim)
+        msg = nn.Dense(self.hidden_dim, name="proj")(msg)
+        y = jnp.concatenate([x, msg], axis=-1)
+        y = nn.Dense(self.feat_dim * 2, name="mlp_0")(y)
+        y = nn.LayerNorm(name="mlp_ln")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.feat_dim, name="mlp_3")(y)
+        return x + y, stat
+
+
+class _CrossAttnStats(nn.Module):
+    """Cross-attention block returning per-token received-attention stats.
+
+    Reference: nets/adagml.py:186-229.
+    """
+
+    feat_dim: int
+    hidden_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x0, x1, mask0, mask1):
+        b, n0, _ = x0.shape
+        n1 = x1.shape[1]
+        h = self.num_heads
+        hd = self.hidden_dim // h
+        scale = hd**-0.5
+
+        to_qk = nn.Dense(self.hidden_dim, name="to_qk")
+        to_v = nn.Dense(self.hidden_dim, name="to_v")
+        proj = nn.Dense(self.hidden_dim, name="proj")
+        mlp_0 = nn.Dense(self.feat_dim * 2, name="mlp_0")
+        mlp_ln = nn.LayerNorm(name="mlp_ln")
+        mlp_3 = nn.Dense(self.feat_dim, name="mlp_3")
+
+        def split(t, n):
+            return jnp.moveaxis(t.reshape(b, n, h, hd), 2, 1)
+
+        qk0 = split(to_qk(x0), n0) * scale**0.5
+        qk1 = split(to_qk(x1), n1) * scale**0.5
+        v0 = split(to_v(x0), n0)
+        v1 = split(to_v(x1), n1)
+        sim = jnp.einsum(
+            "bhid,bhjd->bhij", qk0, qk1, preferred_element_type=jnp.float32
+        )
+        attn01 = masked_softmax(
+            sim, None if mask1 is None else mask1[:, None, None, :], axis=-1
+        ).astype(v1.dtype)
+        attn10 = masked_softmax(
+            sim, None if mask0 is None else mask0[:, None, :, None], axis=-2
+        ).astype(v0.dtype)
+
+        def received(attn, qmask, qaxis):
+            # attn [B,H,i,j]: average over heads and over valid queries
+            s = jnp.mean(attn, axis=1)
+            if qmask is None:
+                return jnp.mean(s, axis=qaxis)
+            if qaxis == 1:
+                qm = qmask.astype(s.dtype)[:, :, None]
+            else:
+                qm = qmask.astype(s.dtype)[:, None, :]
+            return jnp.sum(s * qm, axis=qaxis) / jnp.maximum(
+                jnp.sum(qm, axis=qaxis), 1.0
+            )
+
+        # stat for x0 tokens: attention they receive in attn10 (queries = x1)
+        stat0 = received(attn10, mask1, 2)  # mean over j (x1 queries) -> [B, N0]
+        stat1 = received(attn01, mask0, 1)  # mean over i (x0 queries) -> [B, N1]
+
+        m0 = jnp.einsum(
+            "bhij,bhjd->bhid", attn01, v1, preferred_element_type=jnp.float32
+        ).astype(x0.dtype)
+        m1 = jnp.einsum(
+            "bhij,bhid->bhjd", attn10, v0, preferred_element_type=jnp.float32
+        ).astype(x1.dtype)
+
+        def merge(t, n):
+            return jnp.moveaxis(t, 1, 2).reshape(b, n, self.hidden_dim)
+
+        m0 = proj(merge(m0, n0))
+        m1 = proj(merge(m1, n1))
+
+        def mlp(x, m):
+            y = jnp.concatenate([x, m], axis=-1)
+            y = mlp_0(y)
+            y = mlp_ln(y)
+            y = nn.gelu(y, approximate=False)
+            return mlp_3(y)
+
+        return x0 + mlp(x0, m0), x1 + mlp(x1, m1), stat0, stat1
+
+
+class AdaGML(nn.Module):
+    """Adaptive matcher with static-shape token pruning."""
+
+    config: AdaGMLConfig = field(default_factory=AdaGMLConfig)
+
+    @nn.compact
+    def __call__(
+        self,
+        desc0: jax.Array,
+        desc1: jax.Array,
+        norm_kpts0: jax.Array,
+        norm_kpts1: jax.Array,
+        mask0: Optional[jax.Array] = None,
+        mask1: Optional[jax.Array] = None,
+    ) -> dict:
+        cfg = self.config
+        b, n0, _ = desc0.shape
+        n1 = desc1.shape[1]
+        head_dim = cfg.hidden_dim // cfg.num_heads
+        if mask0 is None:
+            mask0 = jnp.ones((b, n0), bool)
+        if mask1 is None:
+            mask1 = jnp.ones((b, n1), bool)
+        orig_total = jnp.sum(mask0.astype(jnp.float32), -1) + jnp.sum(
+            mask1.astype(jnp.float32), -1
+        )
+
+        input_proj = nn.Dense(cfg.hidden_dim, name="input_proj")
+        x0 = input_proj(desc0)
+        x1 = input_proj(desc1)
+        posenc = LearnableFourierPE(f_dim=head_dim, name="poseenc")
+        enc0 = posenc(norm_kpts0)
+        enc1 = posenc(norm_kpts1)
+
+        stopped = jnp.zeros((b,), bool)
+        stop_layer = jnp.full((b,), cfg.n_layers - 1, jnp.int32)
+
+        for ni in range(cfg.n_layers):
+            sa = _SelfAttnStats(
+                feat_dim=cfg.hidden_dim,
+                hidden_dim=cfg.hidden_dim,
+                num_heads=cfg.num_heads,
+                name=f"self_attn_{ni}",
+            )
+            nx0, s00 = sa(x0, enc0, mask0)
+            nx1, s11 = sa(x1, enc1, mask1)
+            nx0, nx1, s01, s10 = _CrossAttnStats(
+                feat_dim=cfg.hidden_dim,
+                hidden_dim=cfg.hidden_dim,
+                num_heads=cfg.num_heads,
+                name=f"cross_attn_{ni}",
+            )(nx0, nx1, mask0, mask1)
+
+            pool = PoolingLayer(cfg.hidden_dim, name=f"pooling_{ni}")
+            conf0 = pool(nx0, jnp.stack([s00, s01], axis=-1))
+            conf1 = pool(nx1, jnp.stack([s11, s10], axis=-1))
+
+            # freeze descriptors for batches that already stopped
+            keep = stopped[:, None, None]
+            x0 = jnp.where(keep, x0, nx0)
+            x1 = jnp.where(keep, x1, nx1)
+
+            if cfg.adaptive and ni >= 1:
+                th = confidence_threshold(ni, cfg.n_layers)
+                cnt0 = jnp.sum(mask0.astype(jnp.int32), -1)
+                cnt1 = jnp.sum(mask1.astype(jnp.int32), -1)
+                prune0 = (cnt0 >= cfg.n_min_tokens) & ~stopped
+                prune1 = (cnt1 >= cfg.n_min_tokens) & ~stopped
+                mask0 = jnp.where(
+                    prune0[:, None], mask0 & (conf0 > th), mask0
+                )
+                mask1 = jnp.where(
+                    prune1[:, None], mask1 & (conf1 > th), mask1
+                )
+                # stop check uses the *original* token total as denominator
+                # (nets/adagml.py:370,529: num_points = m + n at entry)
+                confident = jnp.sum(
+                    ((conf0 > th) & mask0).astype(jnp.float32), -1
+                ) + jnp.sum(((conf1 > th) & mask1).astype(jnp.float32), -1)
+                now_stop = (confident / jnp.maximum(orig_total, 1.0)) > cfg.stop_ratio
+                stop_layer = jnp.where(~stopped & now_stop, ni, stop_layer)
+                stopped = stopped | now_stop
+
+        # select out_proj[stop_layer] via one-hot over all layer projections
+        d = x0.shape[-1]
+        out_projs = [
+            nn.Dense(cfg.hidden_dim, name=f"out_proj_{i}")
+            for i in range(cfg.n_layers)
+        ]
+        md0_all = jnp.stack([proj(x0) for proj in out_projs], axis=0)
+        md1_all = jnp.stack([proj(x1) for proj in out_projs], axis=0)
+        onehot = jax.nn.one_hot(stop_layer, cfg.n_layers, dtype=x0.dtype)
+        md0 = jnp.einsum("lbnd,bl->bnd", md0_all, onehot) / d**0.25
+        md1 = jnp.einsum("lbnd,bl->bnd", md1_all, onehot) / d**0.25
+
+        sim = jnp.einsum(
+            "bnd,bmd->bnm", md0, md1, preferred_element_type=jnp.float32
+        )
+        dustbin = self.param("bin_score", nn.initializers.ones, ())
+        if cfg.with_sinkhorn:
+            plan = sinkhorn_matching(
+                sim, dustbin, cfg.sinkhorn_iterations, mask0, mask1
+            )
+        else:
+            plan = dual_softmax_matching(sim, dustbin, mask0, mask1)
+        return {
+            "plan": plan,
+            "mask0": mask0,
+            "mask1": mask1,
+            "stop_layer": stop_layer,
+        }
+
+
+def extract_matches(plan: jax.Array, threshold: float = 0.2) -> MatchResult:
+    """Mutual-max readout; pruned tokens carry no plan mass, so they can't match."""
+    return mutual_matches(plan, threshold)

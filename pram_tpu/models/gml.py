@@ -1,0 +1,111 @@
+"""GML matcher — LightGlue-architecture attentional matcher trained with IMP.
+
+TPU-native rebuild of the reference's default matcher (nets/gml.py:189-319):
+shared input projection, rotary Fourier positional encoding, n_layers of
+(self-attention on each side, symmetric cross-attention), a per-layer output
+projection (only the last is used at inference), Sinkhorn with dustbin, and
+mutual-max match extraction.
+
+Fixed shapes: both sides are padded to static token counts with validity
+masks; masked attention + masked Sinkhorn make the result equal to the
+unpadded computation (see ops/sinkhorn.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pram_tpu.models.common import (
+    CrossAttentionBlock,
+    LearnableFourierPE,
+    SelfAttentionBlock,
+)
+from pram_tpu.ops.matching import MatchResult, mutual_matches
+from pram_tpu.ops.sinkhorn import dual_softmax_matching, sinkhorn_matching
+
+
+@dataclass
+class GMLConfig:
+    """Defaults = reference nets/gml.py:193-209."""
+
+    descriptor_dim: int = 128
+    hidden_dim: int = 256
+    num_heads: int = 4
+    n_layers: int = 9
+    sinkhorn_iterations: int = 20
+    match_threshold: float = 0.2
+    with_sinkhorn: bool = True
+
+
+class GML(nn.Module):
+    """Attentional graph matcher producing a transport plan over keypoints."""
+
+    config: GMLConfig = field(default_factory=GMLConfig)
+
+    @nn.compact
+    def __call__(
+        self,
+        desc0: jax.Array,  # [B, N, D]
+        desc1: jax.Array,  # [B, M, D]
+        norm_kpts0: jax.Array,  # [B, N, 2]
+        norm_kpts1: jax.Array,  # [B, M, 2]
+        mask0: Optional[jax.Array] = None,
+        mask1: Optional[jax.Array] = None,
+    ) -> dict:
+        cfg = self.config
+        head_dim = cfg.hidden_dim // cfg.num_heads
+
+        input_proj = nn.Dense(cfg.hidden_dim, name="input_proj")
+        x0 = input_proj(desc0)
+        x1 = input_proj(desc1)
+        posenc = LearnableFourierPE(f_dim=head_dim, name="poseenc")
+        enc0 = posenc(norm_kpts0)
+        enc1 = posenc(norm_kpts1)
+
+        for i in range(cfg.n_layers):
+            sa = SelfAttentionBlock(
+                feat_dim=cfg.hidden_dim,
+                hidden_dim=cfg.hidden_dim,
+                num_heads=cfg.num_heads,
+                name=f"self_attn_{i}",
+            )
+            x0 = sa(x0, enc0, mask0)
+            x1 = sa(x1, enc1, mask1)
+            x0, x1 = CrossAttentionBlock(
+                feat_dim=cfg.hidden_dim,
+                hidden_dim=cfg.hidden_dim,
+                num_heads=cfg.num_heads,
+                name=f"cross_attn_{i}",
+            )(x0, x1, mask0, mask1)
+
+        # The reference creates out_proj for every layer but only applies the
+        # last at inference (nets/gml.py:279-280); earlier ones exist for the
+        # training-time per-layer losses. We declare all for checkpoint parity.
+        for i in range(cfg.n_layers - 1):
+            _ = nn.Dense(cfg.hidden_dim, name=f"out_proj_{i}")
+        out_proj = nn.Dense(cfg.hidden_dim, name=f"out_proj_{cfg.n_layers - 1}")
+        d = x0.shape[-1]
+        md0 = out_proj(x0) / d**0.25
+        md1 = out_proj(x1) / d**0.25
+
+        sim = jnp.einsum(
+            "bnd,bmd->bnm", md0, md1, preferred_element_type=jnp.float32
+        )
+        dustbin = self.param("bin_score", nn.initializers.ones, ())
+        if cfg.with_sinkhorn:
+            plan = sinkhorn_matching(
+                sim, dustbin, cfg.sinkhorn_iterations, mask0, mask1
+            )
+        else:
+            plan = dual_softmax_matching(sim, dustbin, mask0, mask1)
+        return {"plan": plan, "mdesc0": md0, "mdesc1": md1}
+
+
+def extract_matches(plan: jax.Array, threshold: float = 0.2) -> MatchResult:
+    """Mutual-max match readout (reference nets/gml.py:304-319)."""
+    return mutual_matches(plan, threshold)

@@ -1,0 +1,242 @@
+"""SFD2 (ResNet4x) detector/descriptor — flax, NHWC, TPU-friendly.
+
+Rebuild of the reference extractor (nets/sfd2.py:127-369): a ResNet-style
+backbone at stride 4, a 65-channel softmax + 8x8 pixel-shuffle score decoder
+at full resolution, an L2-normalized 128-d descriptor map at stride 4, and a
+256-d stride-4 ``mid_features`` map sampled as recognition-token descriptors.
+
+TPU-first choices:
+- NHWC layout (XLA's native conv layout on TPU) with grouped 3x3 convs on the
+  MXU; batchnorm runs in inference mode with stored statistics (the extractor
+  is frozen even during reference training, trainer.py:118).
+- Keypoint extraction is fixed-shape: NMS (ops/nms.py) + static top-K with
+  validity mask (ops/keypoints.py), fused into one jit with descriptor
+  sampling — the whole extract step is a single compiled program.
+
+Weight conversion from the reference torch checkpoint: models/convert.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pram_tpu.ops.keypoints import Keypoints, extract_keypoints
+from pram_tpu.ops.nms import simple_nms
+from pram_tpu.ops.sampling import sample_descriptors
+
+# ImageNet RGB normalization (nets/sfd2.py:14-17)
+RGB_MEAN = (0.485, 0.456, 0.406)
+RGB_STD = (0.229, 0.224, 0.225)
+
+
+class ConvBNReLU(nn.Module):
+    """3x3 conv + BN + ReLU (reference ``conv`` helper, nets/sfd2.py:78-91)."""
+
+    features: int
+    stride: int = 1
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        # the reference's conv helper keeps the conv bias even when followed
+        # by BN (nets/sfd2.py:86-91 uses torch Conv2d defaults)
+        x = nn.Conv(
+            self.features,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=1,
+            use_bias=True,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=True, name="bn")(x)
+        return nn.relu(x)
+
+
+class ResBlock(nn.Module):
+    """1x1 -> grouped 3x3 -> 1x1 bottleneck with identity (nets/sfd2.py:94-124)."""
+
+    features: int
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=True, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.features,
+            (3, 3),
+            padding=1,
+            feature_group_count=self.groups,
+            use_bias=False,
+            name="conv2",
+        )(y)
+        y = nn.BatchNorm(use_running_average=True, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=True, name="bn3")(y)
+        return nn.relu(y + identity)
+
+
+def pixel_shuffle_score(semi: jax.Array) -> jax.Array:
+    """Decode the 64-channel cell scores into a full-resolution map.
+
+    Matches the reference permutation (nets/sfd2.py:188-192): channel
+    c = i*8 + j is the score of sub-pixel (row i, col j) in each 8x8 cell.
+
+    Args:
+      semi: ``[B, Hc, Wc, 64]`` (NHWC; dustbin channel already dropped).
+
+    Returns:
+      ``[B, Hc*8, Wc*8]`` score map.
+    """
+    b, hc, wc, _ = semi.shape
+    s = semi.reshape(b, hc, wc, 8, 8)
+    s = jnp.transpose(s, (0, 1, 3, 2, 4))  # [B, Hc, 8, Wc, 8]
+    return s.reshape(b, hc * 8, wc * 8)
+
+
+class ResNet4x(nn.Module):
+    """SFD2 backbone + detector/descriptor heads.
+
+    ``__call__`` returns the dense outputs; use :func:`extract` for the
+    fused fixed-shape keypoint pipeline.
+    """
+
+    inputdim: int = 3
+    outdim: int = 128
+
+    @nn.compact
+    def __call__(self, image: jax.Array) -> dict:
+        """Dense forward.
+
+        Args:
+          image: ``[B, H, W, 3]`` RGB, already ImageNet-normalized, H and W
+            divisible by 8.
+
+        Returns:
+          dict with ``score_map`` ``[B, H, W]``, ``desc_map`` ``[B, H/4, W/4,
+          outdim]`` (L2-normalized), ``mid_features`` ``[B, H/4, W/4, 256]``,
+          ``logits`` ``[B, H/8, W/8, 65]``.
+        """
+        d1, d2, d3 = 64, 128, 256
+        out1a = ConvBNReLU(d1, name="conv1a")(image)
+        out1b = ConvBNReLU(d1, stride=2, name="conv1b")(out1a)
+        out2a = ConvBNReLU(d2, name="conv2a")(out1b)
+        out2b = ConvBNReLU(d2, stride=2, name="conv2b")(out2a)
+        out3a = ConvBNReLU(d3, name="conv3a")(out2b)
+        out3b = ConvBNReLU(d3, name="conv3b")(out3a)
+        out4 = out3b
+        for i in range(3):
+            out4 = ResBlock(256, name=f"res_{i}")(out4)
+
+        # detector head (stride 8): conv s2 + BN + ReLU + conv, then 65-way
+        # softmax and pixel shuffle (nets/sfd2.py:156-169,184-192)
+        cpa = nn.Conv(256, (3, 3), strides=(2, 2), padding=1, name="convPa_0")(
+            out4
+        )
+        cpa = nn.BatchNorm(use_running_average=True, name="convPa_bn")(cpa)
+        cpa = nn.relu(cpa)
+        cpa = nn.Conv(256, (3, 3), padding=1, name="convPa_3")(cpa)
+        logits = nn.Conv(65, (1, 1), name="convPb")(cpa)
+        full_semi = jax.nn.softmax(logits, axis=-1)
+        score_map = pixel_shuffle_score(full_semi[..., :-1])
+
+        # descriptor head (stride 4)
+        cda = nn.Conv(256, (3, 3), padding=1, name="convDa_0")(out4)
+        cda = nn.BatchNorm(use_running_average=True, name="convDa_bn")(cda)
+        cda = nn.relu(cda)
+        cda = nn.Conv(256, (3, 3), padding=1, name="convDa_3")(cda)
+        desc = nn.Conv(self.outdim, (1, 1), name="convDb")(cda)
+        norm = jnp.sqrt(jnp.sum(desc * desc, axis=-1, keepdims=True))
+        desc = desc / jnp.maximum(norm, 1e-12)
+
+        return {
+            "score_map": score_map,
+            "desc_map": desc,
+            "mid_features": out4,
+            "logits": logits,
+        }
+
+
+def preprocess_image(image_rgb01: jax.Array) -> jax.Array:
+    """ImageNet-normalize an RGB image in [0, 1] (nets/sfd2.py:14-17)."""
+    mean = jnp.asarray(RGB_MEAN, image_rgb01.dtype)
+    std = jnp.asarray(RGB_STD, image_rgb01.dtype)
+    return (image_rgb01 - mean) / std
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "model",
+        "max_keypoints",
+        "conf_th",
+        "border",
+        "min_keypoints",
+        "nms_radius",
+    ),
+)
+def extract(
+    model: ResNet4x,
+    variables,
+    image: jax.Array,
+    *,
+    max_keypoints: int = 4096,
+    conf_th: float = 0.005,
+    border: int = 4,
+    min_keypoints: int = 128,
+    nms_radius: int = 4,
+):
+    """Fused SFD2 extraction: dense forward + NMS + top-K + desc sampling.
+
+    Fixed-shape equivalent of the reference's ``extract_local_global``
+    (nets/sfd2.py:269-346). Returns per-image keypoints (padded to
+    ``max_keypoints`` with mask), matching descriptors (sampled from
+    ``desc_map``) and recognition-token descriptors (sampled from
+    ``mid_features`` then L2-normalized, like ``sample()``
+    nets/sfd2.py:348-369).
+
+    Args:
+      model: the flax module (static).
+      variables: {'params': ..., 'batch_stats': ...}.
+      image: ``[B, H, W, 3]`` ImageNet-normalized.
+
+    Returns:
+      dict of keypoints (Keypoints), descriptors ``[B, K, outdim]``,
+      seg_descriptors ``[B, K, 256]``, score_map, desc_map, mid_features.
+    """
+    out = model.apply(variables, image)
+    nms = simple_nms(out["score_map"], nms_radius)
+    kps: Keypoints = extract_keypoints(
+        nms,
+        max_keypoints=max_keypoints,
+        conf_th=conf_th,
+        border=border,
+        min_keypoints=min_keypoints,
+    )
+
+    # NHWC -> CHW per image for the sampler
+    def per_image(kxy, dmap, mid):
+        d = sample_descriptors(kxy, jnp.transpose(dmap, (2, 0, 1)), 4)
+        m = sample_descriptors(kxy, jnp.transpose(mid, (2, 0, 1)), 4)
+        return d, m
+
+    descs, seg_descs = jax.vmap(per_image)(
+        kps.xy, out["desc_map"], out["mid_features"]
+    )
+    return {
+        "keypoints": kps,
+        "descriptors": descs,
+        "seg_descriptors": seg_descs,
+        "score_map": out["score_map"],
+        "desc_map": out["desc_map"],
+        "mid_features": out["mid_features"],
+    }

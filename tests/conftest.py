@@ -1,7 +1,8 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set the XLA flags before jax is imported anywhere, so this executes at
-conftest import time.
+jax is pre-imported at interpreter startup in this environment (sitecustomize)
+with JAX_PLATFORMS=axon, so env vars alone are too late; use config.update
+before the backend initializes (first device access).
 """
 
 import os
@@ -11,8 +12,11 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

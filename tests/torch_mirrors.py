@@ -1,0 +1,259 @@
+"""Torch models mirroring the reference architectures, for parity testing.
+
+These are written to have the *same state_dict layout* as the reference
+checkpoints (nets/sfd2.py, nets/segnetvit.py, nets/gml.py, nets/adagml.py) so
+that pram_tpu.models.convert can be validated end-to-end on random weights:
+torch forward == flax forward after conversion.
+"""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+from torch import nn
+
+
+def rotate_half(x):
+    x = x.unflatten(-1, (-1, 2))
+    x1, x2 = x.unbind(dim=-1)
+    return torch.stack((-x2, x1), dim=-1).flatten(start_dim=-2)
+
+
+def apply_rot(freqs, t):
+    return (t * freqs[0]) + (rotate_half(t) * freqs[1])
+
+
+class FourierPE(nn.Module):
+    def __init__(self, m, f_dim):
+        super().__init__()
+        self.Wr = nn.Linear(m, f_dim // 2, bias=False)
+
+    def forward(self, x):
+        p = self.Wr(x)
+        emb = torch.stack([torch.cos(p), torch.sin(p)], 0).unsqueeze(-3)
+        return emb.repeat_interleave(2, dim=-1)
+
+
+class SelfMHA(nn.Module):
+    def __init__(self, feat_dim, hidden_dim, num_heads):
+        super().__init__()
+        self.num_heads = num_heads
+        self.qkv = nn.Linear(feat_dim, hidden_dim * 3)
+        self.proj = nn.Linear(hidden_dim, hidden_dim)
+        self.mlp = nn.Sequential(
+            nn.Linear(feat_dim + hidden_dim, feat_dim * 2),
+            nn.LayerNorm(feat_dim * 2),
+            nn.GELU(),
+            nn.Linear(feat_dim * 2, feat_dim),
+        )
+
+    def forward(self, x, enc=None):
+        qkv = self.qkv(x)
+        qkv = qkv.unflatten(-1, (self.num_heads, -1, 3)).transpose(1, 2)
+        q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+        if enc is not None:
+            q = apply_rot(enc, q)
+            k = apply_rot(enc, k)
+        s = q.shape[-1] ** -0.5
+        attn = F.softmax(torch.einsum("...id,...jd->...ij", q, k) * s, -1)
+        a = torch.einsum("...ij,...jd->...id", attn, v)
+        msg = self.proj(a.transpose(1, 2).flatten(start_dim=-2))
+        return x + self.mlp(torch.cat([x, msg], -1))
+
+
+class CrossMHA(nn.Module):
+    def __init__(self, feat_dim, hidden_dim, num_heads):
+        super().__init__()
+        self.num_heads = num_heads
+        dim_head = hidden_dim // num_heads
+        self.scale = dim_head**-0.5
+        self.to_qk = nn.Linear(feat_dim, hidden_dim)
+        self.to_v = nn.Linear(feat_dim, hidden_dim)
+        self.proj = nn.Linear(hidden_dim, hidden_dim)
+        self.mlp = nn.Sequential(
+            nn.Linear(feat_dim + hidden_dim, feat_dim * 2),
+            nn.LayerNorm(feat_dim * 2),
+            nn.GELU(),
+            nn.Linear(feat_dim * 2, feat_dim),
+        )
+
+    def forward(self, x0, x1):
+        qk0, qk1 = self.to_qk(x0), self.to_qk(x1)
+        v0, v1 = self.to_v(x0), self.to_v(x1)
+        qk0, qk1, v0, v1 = map(
+            lambda t: t.unflatten(-1, (self.num_heads, -1)).transpose(1, 2),
+            (qk0, qk1, v0, v1),
+        )
+        qk0 = qk0 * self.scale**0.5
+        qk1 = qk1 * self.scale**0.5
+        sim = torch.einsum("bhid,bhjd->bhij", qk0, qk1)
+        attn01 = F.softmax(sim, dim=-1)
+        attn10 = F.softmax(sim.transpose(-2, -1).contiguous(), dim=-1)
+        m0 = torch.einsum("bhij,bhjd->bhid", attn01, v1)
+        m1 = torch.einsum(
+            "bhji,bhjd->bhid", attn10.transpose(-2, -1), v0
+        )
+        m0 = self.proj(m0.transpose(1, 2).flatten(start_dim=-2))
+        m1 = self.proj(m1.transpose(1, 2).flatten(start_dim=-2))
+        x0 = x0 + self.mlp(torch.cat([x0, m0], -1))
+        x1 = x1 + self.mlp(torch.cat([x1, m1], -1))
+        return x0, x1
+
+
+class TorchSegNetViT(nn.Module):
+    """State-dict mirror of reference nets/segnetvit.py:124-203."""
+
+    def __init__(self, desc_dim=256, hidden=256, heads=4, n_layers=15,
+                 out_dim=1024, n_class=113):
+        super().__init__()
+        head_dim = hidden // heads
+
+        class GNN(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.layers = nn.ModuleList(
+                    [SelfMHA(hidden, hidden, heads) for _ in range(n_layers)]
+                )
+
+        self.gnn = GNN()
+        self.kenc = FourierPE(2, head_dim)
+        self.input_proj = nn.Linear(desc_dim, hidden)
+        self.seg = nn.Sequential(
+            nn.Linear(hidden, out_dim),
+            nn.LayerNorm(out_dim),
+            nn.GELU(),
+            nn.Linear(out_dim, n_class),
+        )
+
+    def forward(self, desc, norm_kpts):
+        enc = self.kenc(norm_kpts)
+        x = self.input_proj(desc)
+        for layer in self.gnn.layers:
+            x = layer(x, enc)
+        return self.seg(x)
+
+
+def torch_sink(M, dustbin, iteration):
+    eps = 1e-8
+    M = torch.cat([M, dustbin.expand([M.shape[0], M.shape[1], 1])], dim=-1)
+    M = torch.cat([M, dustbin.expand([M.shape[0], 1, M.shape[2]])], dim=-2)
+    r = torch.ones([M.shape[0], M.shape[1] - 1])
+    r = torch.cat([r, torch.ones([M.shape[0], 1]) * M.shape[1]], dim=-1)
+    c = torch.ones([M.shape[0], M.shape[2] - 1])
+    c = torch.cat([c, torch.ones([M.shape[0], 1]) * M.shape[2]], dim=-1)
+    p = torch.softmax(M, dim=-1)
+    u, v = torch.ones_like(r), torch.ones_like(c)
+    for _ in range(iteration):
+        u = r / ((p * v.unsqueeze(-2)).sum(-1) + eps)
+        v = c / ((p * u.unsqueeze(-1)).sum(-2) + eps)
+    return p * u.unsqueeze(-1) * v.unsqueeze(-2)
+
+
+class TorchGML(nn.Module):
+    """State-dict mirror of reference nets/gml.py:189-302."""
+
+    def __init__(self, desc_dim=128, hidden=256, heads=4, n_layers=9,
+                 sinkhorn_iters=20):
+        super().__init__()
+        self.n_layers = n_layers
+        self.sinkhorn_iters = sinkhorn_iters
+        self.input_proj = nn.Linear(desc_dim, hidden)
+        self.self_attn = nn.ModuleList(
+            [SelfMHA(hidden, hidden, heads) for _ in range(n_layers)]
+        )
+        self.cross_attn = nn.ModuleList(
+            [CrossMHA(hidden, hidden, heads) for _ in range(n_layers)]
+        )
+        self.poseenc = FourierPE(2, hidden // heads)
+        self.out_proj = nn.ModuleList(
+            [nn.Linear(hidden, hidden) for _ in range(n_layers)]
+        )
+        self.register_parameter(
+            "bin_score", torch.nn.Parameter(torch.tensor(1.0))
+        )
+
+    def forward(self, desc0, desc1, nk0, nk1):
+        x0 = self.input_proj(desc0)
+        x1 = self.input_proj(desc1)
+        enc0, enc1 = self.poseenc(nk0), self.poseenc(nk1)
+        for i in range(self.n_layers):
+            x0 = self.self_attn[i](x0, enc0)
+            x1 = self.self_attn[i](x1, enc1)
+            x0, x1 = self.cross_attn[i](x0, x1)
+        d = x0.shape[-1]
+        md0 = self.out_proj[self.n_layers - 1](x0) / d**0.25
+        md1 = self.out_proj[self.n_layers - 1](x1) / d**0.25
+        dist = torch.einsum("bmd,bnd->bmn", md0, md1)
+        return torch_sink(dist, self.bin_score, self.sinkhorn_iters)
+
+
+def _conv_bn_relu(cin, cout, stride=1):
+    return nn.Sequential(
+        nn.Conv2d(cin, cout, 3, stride=stride, padding=1),
+        nn.BatchNorm2d(cout),
+        nn.ReLU(inplace=True),
+    )
+
+
+class TorchResBlock(nn.Module):
+    def __init__(self, planes, groups=32):
+        super().__init__()
+        self.conv1 = nn.Conv2d(planes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(
+            planes, planes, 3, padding=1, groups=groups, bias=False
+        )
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+
+    def forward(self, x):
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + x)
+
+
+class TorchSFD2(nn.Module):
+    """State-dict mirror of reference nets/sfd2.py:127-233."""
+
+    def __init__(self, outdim=128):
+        super().__init__()
+        d1, d2, d3 = 64, 128, 256
+        self.conv1a = _conv_bn_relu(3, d1)
+        self.conv1b = _conv_bn_relu(d1, d1, stride=2)
+        self.conv2a = _conv_bn_relu(d1, d2)
+        self.conv2b = _conv_bn_relu(d2, d2, stride=2)
+        self.conv3a = _conv_bn_relu(d2, d3)
+        self.conv3b = _conv_bn_relu(d3, d3)
+        self.conv4 = nn.Sequential(
+            TorchResBlock(256), TorchResBlock(256), TorchResBlock(256)
+        )
+        self.convPa = nn.Sequential(
+            nn.Conv2d(256, 256, 3, stride=2, padding=1),
+            nn.BatchNorm2d(256),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(256, 256, 3, padding=1),
+        )
+        self.convDa = nn.Sequential(
+            nn.Conv2d(256, 256, 3, padding=1),
+            nn.BatchNorm2d(256),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(256, 256, 3, padding=1),
+        )
+        self.convPb = nn.Conv2d(256, 65, 1)
+        self.convDb = nn.Conv2d(256, outdim, 1)
+
+    def forward(self, x):
+        x = self.conv1b(self.conv1a(x))
+        x = self.conv2b(self.conv2a(x))
+        x = self.conv3b(self.conv3a(x))
+        out4 = self.conv4(x)
+        logits = self.convPb(self.convPa(out4))
+        semi = torch.softmax(logits, dim=1)[:, :-1]
+        hc, wc = semi.shape[2], semi.shape[3]
+        score = semi.permute(0, 2, 3, 1).reshape(-1, hc, wc, 8, 8)
+        score = score.permute(0, 1, 3, 2, 4).reshape(-1, hc * 8, wc * 8)
+        desc = self.convDb(self.convDa(out4))
+        desc = F.normalize(desc, dim=1)
+        return score, desc, out4
