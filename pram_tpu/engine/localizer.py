@@ -1,0 +1,430 @@
+"""Jit-compiled hierarchical relocalization over packed maps.
+
+TPU-native rebuild of MultiMap3D.run + SingleMap3D.localize_with_ref_frame /
+refine_pose_by_projection (localization/multimap3d.py:95-379,
+singlemap3d.py:127-193,367-498). The reference walks candidate landmarks
+sequentially with per-candidate GPU matcher calls and CPU RANSAC; here all
+``seg_k`` candidates are matched and PnP-solved *in parallel* inside one
+compiled program, then the first candidate (in recognition-rank order) that
+clears the inlier gate is selected — the same accept/reject semantics as the
+sequential loop, with none of its host/device ping-pong.
+
+Stages (all fixed-shape, one jit):
+  1. background pre-filter         (frame.py:96-122, mask instead of drop)
+  2. segment ranking               (multimap3d.py:348-379, closed-form)
+  3. semantic consistency check    (singlemap3d.py:513-532, histogram math)
+  4. batched matching vs VRFs      (singlemap3d.py:127-162)
+  5. batched PnP/RANSAC            (replaces pycolmap, geometry/pnp.py)
+  6. candidate selection           (multimap3d.py:234-239,294-313)
+  7. refinement by projection      (singlemap3d.py:367-498)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from pram_tpu.geometry.camera import Camera, project
+from pram_tpu.geometry.pnp import PnPResult, gauss_newton_pose, ransac_pnp
+from pram_tpu.geometry.rotations import rotmat2qvec
+from pram_tpu.maps.device import DeviceMap
+
+
+@dataclass(frozen=True)
+class LocConfig:
+    """Localization hyperparameters (reference config 'localization:' block,
+    configs/config_train_7scenes_sfd2.yaml:76-104)."""
+
+    seg_k: int = 10  # landmark candidates per query
+    n_rank: int = 4  # recognition ranks scanned when grouping keypoints
+    min_kpts: int = 128  # min kpts for semantic matching
+    min_matches: int = 4  # min 2D-3D matches to attempt PnP
+    min_inliers: int = 32  # accept gate
+    threshold: float = 8.0  # RANSAC inlier radius (px)
+    do_refinement: bool = True
+    semantic_matching: bool = True
+    pre_filtering_th: float = 0.95  # background score filter (0 disables)
+    num_hypotheses: int = 256
+    match_threshold: float = 0.2  # matcher mutual-max gate
+    projection_ratio: float = 0.995  # refine-by-projection NN ratio
+    max_vrf_kpts: Optional[int] = None  # cap ref tokens fed to the matcher
+
+
+def normalize_kpts_like_reference(
+    kpts: jax.Array, width: jax.Array, height: jax.Array
+) -> jax.Array:
+    """Keypoint normalization with the reference's swapped-axis convention.
+
+    The reference passes ``image_shape = (1, 3, W, H)`` to
+    ``normalize_keypoints`` which unpacks ``_, _, height, width`` — so the
+    roles of W and H are swapped at every matcher call site
+    (singlemap3d.py:147,152 with nets/utils.py:17-24). The pretrained
+    matchers were evaluated under this convention, so we reproduce it: the
+    center is (H/2, W/2) and the scale 0.7*max(W, H).
+    """
+    size = jnp.stack([height, width], axis=-1)[..., None, :]
+    center = size / 2.0
+    scaling = jnp.max(size, axis=-1, keepdims=True) * 0.7
+    return (kpts - center) / scaling
+
+
+def rank_segments(
+    logits: jax.Array,
+    mask: jax.Array,
+    *,
+    seg_k: int,
+    n_rank: int = 4,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Rank candidate landmarks from per-keypoint recognition logits.
+
+    Closed-form equivalent of process_segmentations (multimap3d.py:348-379):
+    every class's priority is (first recognition rank at which any keypoint
+    votes for it, then vote count at that rank, descending). Background
+    (class 0) is excluded; returned sids are map segment ids (class - 1).
+
+    Args:
+      logits: ``[N, C]`` recognition logits.
+      mask: ``[N]`` keypoint validity.
+
+    Returns:
+      (sids ``[seg_k]`` int32 map segment ids (-1 invalid),
+       kpt_masks ``[seg_k, N]`` keypoints voting for each candidate at its
+       claimed rank, valid ``[seg_k]``).
+    """
+    n, c = logits.shape
+    r = min(n_rank, c)
+    _, ids = lax.top_k(logits, r)  # [N, R]
+    onehot = (
+        jax.nn.one_hot(ids, c, dtype=jnp.int32) * mask[:, None, None]
+    )  # [N, R, C]
+    counts = jnp.sum(onehot, axis=0)  # [R, C]
+    has = counts > 0
+    first_rank = jnp.argmax(has, axis=0)  # [C]
+    any_rank = jnp.any(has, axis=0)
+    cnt_first = jnp.take_along_axis(counts, first_rank[None], axis=0)[0]
+
+    big = jnp.asarray(2**30, jnp.int32)
+    n_plus = n + 1
+    key = first_rank.astype(jnp.int32) * n_plus + (n_plus - 1 - cnt_first)
+    cls = jnp.arange(c, dtype=jnp.int32)
+    key = jnp.where(any_rank & (cls > 0), key, big)
+    order = jnp.argsort(key)[:seg_k].astype(jnp.int32)  # class indices
+    valid = key[order] < big
+
+    r_of = first_rank[order]  # [seg_k]
+    kpt_masks = (ids.T[r_of] == order[:, None]) & mask[None]  # [seg_k, N]
+    sids = jnp.where(valid, order - 1, -1)
+    return sids, kpt_masks, valid
+
+
+def _semantic_consistency(
+    q_sids: jax.Array,  # [N] global sids of query kpts (-1 = bg)
+    q_mask: jax.Array,  # [N]
+    ref_sids: jax.Array,  # [K] global sids of ref kpts
+    ref_mask: jax.Array,  # [K]
+    n_seg: int,
+    overlap_ratio: float = 0.5,
+) -> jax.Array:
+    """check_semantic_consistency (singlemap3d.py:513-532) via histograms."""
+    q_hist = jnp.zeros((n_seg,), jnp.int32).at[
+        jnp.clip(q_sids, 0, n_seg - 1)
+    ].add(jnp.where(q_mask & (q_sids >= 0), 1, 0))
+    r_hist = jnp.zeros((n_seg,), jnp.int32).at[
+        jnp.clip(ref_sids, 0, n_seg - 1)
+    ].add(jnp.where(ref_mask & (ref_sids >= 0), 1, 0))
+    both = (q_hist > 0) & (r_hist > 0)
+    overlap_q = jnp.sum(jnp.where(both, q_hist, 0))
+    overlap_r = jnp.sum(jnp.where(both, r_hist, 0))
+    nq = jnp.maximum(jnp.sum(q_mask.astype(jnp.int32)), 1)
+    nr = jnp.maximum(jnp.sum(ref_mask.astype(jnp.int32)), 1)
+    ratio1 = overlap_q / nq
+    ratio2 = overlap_r / nr
+    return jnp.minimum(ratio1, ratio2) >= overlap_ratio
+
+
+class LocResult(NamedTuple):
+    """Per-query localization output (all fixed-shape)."""
+
+    qvec: jax.Array  # [4]
+    tvec: jax.Array  # [3]
+    R: jax.Array  # [3, 3]
+    success: jax.Array  # bool
+    num_inliers: jax.Array  # int32 (final, post-refinement if enabled)
+    matched_order: jax.Array  # int32 candidate rank that succeeded (-1 fail)
+    matched_sid: jax.Array  # int32 accepted landmark id (-1 fail)
+    initial_num_inliers: jax.Array  # int32 (pre-refinement)
+    # per-keypoint associations for tracking (frame.update_point3ds)
+    kpt_point_idx: jax.Array  # [N] int32 index into map points (-1 invalid)
+    kpt_xyz: jax.Array  # [N, 3] matched 3D points
+
+
+MatchFn = Callable[..., jax.Array]
+
+
+def localize_frame(
+    key: jax.Array,
+    dmap: DeviceMap,
+    match_fn: MatchFn,
+    camera: Camera,
+    kpts: jax.Array,  # [N, 2]
+    scores: jax.Array,  # [N]
+    descs: jax.Array,  # [N, D]
+    mask: jax.Array,  # [N]
+    seg_logits: jax.Array,  # [N, C]
+    cfg: LocConfig,
+) -> LocResult:
+    """Full relocalization of one query frame (vmap over a batch).
+
+    ``match_fn(desc0, nk0, sc0, m0, desc1, nk1, sc1, m1) -> matches0 [b, N]``
+    wraps the matcher (GML/AdaGML/GM/NN) over a candidate batch.
+    """
+    n, _ = kpts.shape
+    n_class = seg_logits.shape[-1]
+    n_seg = dmap.seg_vrf_slot.shape[0]
+
+    # -- 1. background pre-filter (frame.py:96-122): mask, never drop
+    if cfg.pre_filtering_th > 0:
+        seg_scores = jax.nn.softmax(seg_logits, axis=-1)
+        non_bg = seg_scores[:, 0] < cfg.pre_filtering_th
+        enough = jnp.sum((non_bg & mask).astype(jnp.int32)) >= (
+            0.4 * jnp.sum(mask.astype(jnp.int32))
+        )
+        mask = jnp.where(enough, mask & non_bg, mask)
+
+    q_sids = jnp.argmax(seg_logits, axis=-1).astype(jnp.int32) - 1  # [N]
+
+    # -- 2. candidate landmark ranking
+    sids, kpt_masks, cand_valid = rank_segments(
+        seg_logits, mask, seg_k=cfg.seg_k, n_rank=cfg.n_rank
+    )
+    slots = jnp.where(
+        sids >= 0, dmap.seg_vrf_slot[jnp.clip(sids, 0, n_seg - 1)], -1
+    )
+    cand_valid = cand_valid & (slots >= 0)
+    safe_slots = jnp.clip(slots, 0, dmap.vrf_frame_idx.shape[0] - 1)
+    frames = dmap.vrf_frame_idx[safe_slots]  # [seg_k]
+
+    # -- gather VRF keypoint tables [seg_k, K, ...]
+    ref_pt_idx = dmap.frame_point_idx[frames]  # [seg_k, K]
+    ref_uv = dmap.frame_kp_uv[frames]
+    ref_score = dmap.frame_kp_score[frames]
+    ref_mask = dmap.frame_kp_mask[frames] & cand_valid[:, None]
+    safe_pt = jnp.clip(ref_pt_idx, 0, dmap.point_xyz.shape[0] - 1)
+    ref_xyz = dmap.point_xyz[safe_pt]  # [seg_k, K, 3]
+    ref_desc = dmap.point_desc[safe_pt]  # [seg_k, K, D]
+    ref_sids_tab = jnp.where(
+        ref_pt_idx >= 0, dmap.point_seg[safe_pt], -1
+    )  # [seg_k, K]
+    ref_w = dmap.frame_size[frames][:, 0]
+    ref_h = dmap.frame_size[frames][:, 1]
+
+    # -- 3. semantic matching gate per candidate
+    if cfg.semantic_matching:
+        consistent = jax.vmap(
+            lambda rs, rm: _semantic_consistency(q_sids, mask, rs, rm, n_seg)
+        )(ref_sids_tab, ref_mask)
+        enough_kpts = (
+            jnp.sum(kpt_masks.astype(jnp.int32), axis=-1) >= cfg.min_kpts
+        )
+        use_sem = consistent & enough_kpts & (sids > 0)
+        q_mask_c = jnp.where(use_sem[:, None], kpt_masks & mask[None], mask[None])
+        ref_mask_c = jnp.where(
+            use_sem[:, None],
+            ref_mask & (ref_sids_tab == sids[:, None]),
+            ref_mask,
+        )
+    else:
+        q_mask_c = jnp.broadcast_to(mask[None], kpt_masks.shape)
+        ref_mask_c = ref_mask
+
+    # -- 4. batched matching vs VRFs
+    qw = camera.size[0]
+    qh = camera.size[1]
+    nk0 = normalize_kpts_like_reference(kpts, qw, qh)  # [N, 2]
+    nk0 = jnp.broadcast_to(nk0[None], (cfg.seg_k, n, 2))
+    nk1 = jax.vmap(normalize_kpts_like_reference)(ref_uv, ref_w, ref_h)
+    d0 = jnp.broadcast_to(descs[None], (cfg.seg_k,) + descs.shape)
+    s0 = jnp.broadcast_to(scores[None], (cfg.seg_k, n))
+    matches = match_fn(
+        d0, nk0, s0, q_mask_c, ref_desc, nk1, ref_score, ref_mask_c
+    )  # [seg_k, N] indices into K, -1 invalid
+
+    # -- 5. batched PnP per candidate
+    m_valid = matches >= 0  # [seg_k, N]
+    safe_m = jnp.clip(matches, 0, ref_xyz.shape[1] - 1)
+    m_xyz = jnp.take_along_axis(
+        ref_xyz, safe_m[..., None], axis=1
+    )  # [seg_k, N, 3]
+    m_pt_idx = jnp.where(
+        m_valid, jnp.take_along_axis(ref_pt_idx, safe_m, axis=1), -1
+    )
+    m_sid = jnp.where(
+        m_valid, jnp.take_along_axis(ref_sids_tab, safe_m, axis=1), -1
+    )
+    enough_matches = (
+        jnp.sum(m_valid.astype(jnp.int32), -1) >= cfg.min_matches
+    )
+
+    keys = jax.random.split(key, cfg.seg_k + 1)
+    pnp = jax.vmap(
+        lambda k, xyz, mv: ransac_pnp(
+            k,
+            camera,
+            kpts + 0.5,  # reference adds the half-pixel COLMAP offset
+            xyz,
+            mv,
+            inlier_threshold=cfg.threshold,
+            num_hypotheses=cfg.num_hypotheses,
+            min_inliers=cfg.min_inliers,
+        )
+    )(keys[:-1], m_xyz, m_valid)
+
+    # -- 6. first candidate (rank order) clearing the gate
+    ok = pnp.success & cand_valid & enough_matches
+    order_idx = jnp.arange(cfg.seg_k)
+    pick = jnp.argmin(jnp.where(ok, order_idx, cfg.seg_k))
+    any_ok = jnp.any(ok)
+    # fall back to best inliers when nothing clears the gate (reference keeps
+    # the best attempt on the frame, multimap3d.py:294-298)
+    best_by_inl = jnp.argmax(jnp.where(cand_valid, pnp.num_inliers, -1))
+    pick = jnp.where(any_ok, pick, best_by_inl)
+
+    R0 = pnp.R[pick]
+    t0 = pnp.t[pick]
+    inl0 = pnp.num_inliers[pick]
+    picked_slot = safe_slots[pick]
+    picked_sid = jnp.where(any_ok, sids[pick], -1)
+    kpt_point_idx = jnp.where(
+        pnp.inliers[pick], m_pt_idx[pick], -1
+    )  # [N]
+    kpt_xyz = m_xyz[pick]
+
+    # -- 7. refinement by projection (singlemap3d.py:367-498)
+    if cfg.do_refinement:
+        Rr, tr, inl_r, ref_ok, r_pt_idx, r_xyz = _refine_by_projection(
+            keys[-1], dmap, camera, kpts, descs, mask, picked_slot,
+            R0, t0, cfg,
+        )
+        use = ref_ok & any_ok
+        R_fin = jnp.where(use, Rr, R0)
+        t_fin = jnp.where(use, tr, t0)
+        inl_fin = jnp.where(use, inl_r, inl0)
+        kpt_point_idx = jnp.where(use, r_pt_idx, kpt_point_idx)
+        kpt_xyz = jnp.where(use[..., None], r_xyz, kpt_xyz)
+    else:
+        R_fin, t_fin, inl_fin = R0, t0, inl0
+
+    return LocResult(
+        qvec=rotmat2qvec(R_fin),
+        tvec=t_fin,
+        R=R_fin,
+        success=any_ok,
+        num_inliers=inl_fin,
+        matched_order=jnp.where(any_ok, pick, -1).astype(jnp.int32),
+        matched_sid=picked_sid,
+        initial_num_inliers=inl0,
+        kpt_point_idx=kpt_point_idx,
+        kpt_xyz=kpt_xyz,
+    )
+
+
+def _refine_by_projection(
+    key, dmap: DeviceMap, camera: Camera, kpts, descs, mask, slot, R0, t0,
+    cfg: LocConfig,
+):
+    """refine_pose_by_projection (singlemap3d.py:367-498), fixed-shape.
+
+    Projects the precomputed covisible point set of the chosen VRF into the
+    current pose estimate, matches query descriptors to gated projections by
+    NN + ratio test, and re-solves PnP.
+    """
+    pt_idx = dmap.vrf_ref_point_idx[slot]  # [Pr]
+    pvalid = pt_idx >= 0
+    safe = jnp.clip(pt_idx, 0, dmap.point_xyz.shape[0] - 1)
+    xyz = dmap.point_xyz[safe]  # [Pr, 3]
+    pdesc = dmap.point_desc[safe]  # [Pr, D]
+
+    uv, z = project(camera, R0, t0, xyz)  # [Pr, 2]
+    w = camera.size[0]
+    h = camera.size[1]
+    in_img = (
+        (z > 0)
+        & (z < 100.0)
+        & (uv[:, 0] >= 0)
+        & (uv[:, 0] < w)
+        & (uv[:, 1] >= 0)
+        & (uv[:, 1] < h)
+        & pvalid
+    )
+
+    # descriptor distances with projection gating (+100 out-of-radius
+    # penalty, singlemap3d.py:423-435)
+    sim = descs @ pdesc.T  # [N, Pr]
+    dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * sim + 1e-6, 0.0))
+    proj_err = jnp.linalg.norm(kpts[:, None, :] - uv[None], axis=-1)
+    gate = (proj_err < 2.0 * cfg.threshold) & in_img[None]
+    dist = jnp.where(gate, dist, dist + 100.0)
+
+    # top-2 NN + ratio test
+    neg = -dist
+    top2, idx2 = lax.top_k(neg, 2)
+    d1 = -top2[:, 0]
+    d2 = -top2[:, 1]
+    keep = (d1 / jnp.maximum(d2, 1e-9) <= cfg.projection_ratio) & (
+        d1 < 100.0
+    ) & mask
+
+    nn_idx = idx2[:, 0]
+    m_xyz = xyz[nn_idx]
+    m_pt_idx = jnp.where(keep, pt_idx[nn_idx], -1)
+
+    res = ransac_pnp(
+        key,
+        camera,
+        kpts + 0.5,
+        m_xyz,
+        keep,
+        inlier_threshold=cfg.threshold,
+        num_hypotheses=cfg.num_hypotheses,
+        min_inliers=cfg.min_inliers,
+    )
+    kpt_point_idx = jnp.where(res.inliers, m_pt_idx, -1)
+    return res.R, res.t, res.num_inliers, res.success, kpt_point_idx, m_xyz
+
+
+class Localizer:
+    """Convenience wrapper: device map + matcher + compiled batch step.
+
+    The compiled function processes a whole batch of query frames at once
+    (the padded-batch formulation of loc_by_rec_eval's per-frame loop,
+    loc_by_rec_eval.py:25-299) — query throughput comes from this batching.
+    """
+
+    def __init__(self, dmap: DeviceMap, match_fn: MatchFn, cfg: LocConfig):
+        self.dmap = dmap
+        self.match_fn = match_fn
+        self.cfg = cfg
+
+        def step(key, camera, kpts, scores, descs, mask, seg_logits):
+            keys = jax.random.split(key, kpts.shape[0])
+            return jax.vmap(
+                lambda k, cam_p, cam_s, kp, sc, de, ma, lo: localize_frame(
+                    k, self.dmap, self.match_fn, Camera(cam_p, cam_s),
+                    kp, sc, de, ma, lo, self.cfg,
+                )
+            )(keys, camera.params, camera.size, kpts, scores, descs, mask,
+              seg_logits)
+
+        self._step = jax.jit(step)
+
+    def localize_batch(
+        self, key, camera: Camera, kpts, scores, descs, mask, seg_logits
+    ) -> LocResult:
+        """Localize a batch: camera ``[B, ...]``, arrays ``[B, N, ...]``."""
+        return self._step(key, camera, kpts, scores, descs, mask, seg_logits)

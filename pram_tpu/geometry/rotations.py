@@ -39,10 +39,11 @@ def rotmat2qvec(R: jax.Array) -> jax.Array:
     rotations; eigh is TPU-supported). Matches
     colmap_utils/read_write_model.py:569-581.
     """
-    Rxx, Rxy, Rxz = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
-    Ryx, Ryy, Ryz = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
-    Rzx, Rzy, Rzz = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
-    zeros = jnp.zeros_like(Rxx)
+    # the Shepperd K-matrix formula below is written for flat-order names
+    # (Rxx, Ryx, Rzx = first ROW of R), matching COLMAP's unpacking
+    Rxx, Ryx, Rzx = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    Rxy, Ryy, Rzy = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    Rxz, Ryz, Rzz = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
     K = jnp.stack(
         [
             Rxx - Ryy - Rzz, Ryx + Rxy, Rzx + Rxz, Ryz - Rzy,

@@ -41,7 +41,15 @@ def test_qvec_roundtrip(rng):
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
         assert np.linalg.det(R) > 0.99
         q2 = np.asarray(rotmat2qvec(jnp.asarray(R)))
-        np.testing.assert_allclose(np.abs(q2), np.abs(q), atol=1e-4)
+        # signed comparison (up to global quaternion sign): abs() would hide
+        # a transposed-matrix bug
+        if np.dot(q2, q) < 0:
+            q2 = -q2
+        np.testing.assert_allclose(q2, q, atol=1e-4)
+        # and the roundtrip must reproduce R itself
+        np.testing.assert_allclose(
+            np.asarray(qvec2rotmat(jnp.asarray(q2, jnp.float32))), R, atol=1e-4
+        )
 
 
 def test_qvec2rotmat_matches_colmap_formula(rng):
