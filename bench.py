@@ -1,0 +1,135 @@
+"""End-to-end relocalization throughput benchmark (one chip).
+
+Measures query frames/sec through the full compiled pipeline at 7Scenes
+scale: SFD2 extraction (480x640) -> SegNetViT nc113 recognition (512 tokens)
+-> candidate matching (GML, 9 layers) -> batched PnP/RANSAC -> projection
+refinement. Weights are random (throughput is weight-independent); accuracy
+parity is covered by the synthetic end-to-end tests.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+vs_baseline is against the BASELINE.json north-star of 2000 frames/sec/chip.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pram_tpu.engine.localizer import LocConfig, Localizer
+    from pram_tpu.engine.matching import make_gml_match_fn
+    from pram_tpu.geometry.camera import Camera
+    from pram_tpu.maps.device import to_device
+    from pram_tpu.maps.synthetic import make_synthetic_scene
+    from pram_tpu.models.gml import GML, GMLConfig
+    from pram_tpu.models.segnetvit import SegNetViT, SegNetViTConfig
+    from pram_tpu.models.sfd2 import ResNet4x, extract
+
+    rng = np.random.RandomState(0)
+    batch = 8
+    n_kpts = 512
+    height, width = 480, 640
+    n_class = 113
+
+    # ---- models (random weights)
+    sfd2 = ResNet4x()
+    img0 = jnp.zeros((batch, height, width, 3), jnp.float32)
+    sfd2_vars = sfd2.init(jax.random.PRNGKey(0), img0)
+
+    rec = SegNetViT(SegNetViTConfig(n_class=n_class))
+    d0 = jnp.zeros((batch, n_kpts, 256), jnp.float32)
+    k0 = jnp.zeros((batch, n_kpts, 2), jnp.float32)
+    rec_vars = rec.init(jax.random.PRNGKey(1), d0, k0)
+
+    gml = GML(GMLConfig())
+    gvars = gml.init(
+        jax.random.PRNGKey(2),
+        jnp.zeros((1, 8, 128), jnp.float32),
+        jnp.zeros((1, 8, 128), jnp.float32),
+        jnp.zeros((1, 8, 2), jnp.float32),
+        jnp.zeros((1, 8, 2), jnp.float32),
+    )
+
+    # ---- synthetic 7Scenes-scale map (descriptor dim must match matcher)
+    scene = make_synthetic_scene(
+        rng, n_cluster=16, points_per_cluster=400, n_ref_frames=12,
+        desc_dim=128, width=width, height=height,
+    )
+    dmap = to_device(scene.map)
+
+    cfg = LocConfig(
+        seg_k=4, min_inliers=32, threshold=8.0, num_hypotheses=256,
+        do_refinement=True,
+    )
+    loc = Localizer(dmap, make_gml_match_fn(gml, gvars), cfg)
+
+    # ---- full pipeline, one jit
+    @jax.jit
+    def pipeline(key, images):
+        feats = extract(
+            sfd2, sfd2_vars, images, max_keypoints=n_kpts, conf_th=1e-4
+        )
+        kps = feats["keypoints"]
+        logits = rec.apply(
+            rec_vars,
+            feats["seg_descriptors"],
+            kps.xy / jnp.asarray([width, height], jnp.float32) - 0.5,
+            kps.mask,
+        )["prediction"]
+        cam_p = jnp.broadcast_to(
+            jnp.asarray(
+                [500.0, 500.0, width / 2, height / 2, 0, 0, 0, 0],
+                jnp.float32,
+            ),
+            (images.shape[0], 8),
+        )
+        cam_s = jnp.broadcast_to(
+            jnp.asarray([width, height], jnp.float32), (images.shape[0], 2)
+        )
+        keys = jax.random.split(key, images.shape[0])
+        from pram_tpu.engine.localizer import localize_frame
+
+        res = jax.vmap(
+            lambda k, cp, cs, kp, sc, de, ma, lo: localize_frame(
+                k, dmap, loc.match_fn, Camera(cp, cs), kp, sc, de, ma, lo, cfg
+            )
+        )(
+            keys, cam_p, cam_s, kps.xy, kps.scores,
+            feats["descriptors"], kps.mask, logits,
+        )
+        return res.qvec, res.tvec, res.num_inliers
+
+    images = jnp.asarray(rng.rand(batch, height, width, 3).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    out = pipeline(key, images)
+    jax.block_until_ready(out)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = pipeline(jax.random.fold_in(key, i), images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = batch * iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "7scenes_relocalization_throughput",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / 2000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

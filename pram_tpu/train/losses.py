@@ -1,0 +1,100 @@
+"""Segmentation losses and metrics for recognition training.
+
+Rebuilds tools/metrics.py: the background-weighted segmentation
+cross-entropy (compute_seg_loss_weight, tools/metrics.py:131-148), the
+correct/incorrect accuracy pair (compute_corr_incorr, :105-129) and the
+IoU/precision evaluation (:12-68). All masked for padded keypoint tokens.
+
+Note the reference's loss applies ``log_softmax`` and then
+``F.cross_entropy`` (which itself applies log-softmax) — a double-softmax
+quirk we reproduce by default for gradient-level parity with the published
+training runs; set ``double_softmax=False`` for the textbook loss.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def seg_loss_weighted(
+    logits: jax.Array,  # [B, N, C]
+    target: jax.Array,  # [B, N] int
+    mask: Optional[jax.Array] = None,  # [B, N]
+    background_id: int = 0,
+    weight_background: float = 0.1,
+    double_softmax: bool = True,
+) -> jax.Array:
+    """Background-down-weighted CE (tools/metrics.py:131-148).
+
+    Reduction matches torch's weighted mean: sum(w_i * nll_i) / sum(w_i).
+    """
+    x = jax.nn.log_softmax(logits, axis=-1)
+    if double_softmax:
+        x = jax.nn.log_softmax(x, axis=-1)
+    nll = -jnp.take_along_axis(x, target[..., None], axis=-1)[..., 0]
+    w = jnp.where(target == background_id, weight_background, 1.0)
+    if mask is not None:
+        w = w * mask.astype(w.dtype)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+def seg_accuracy(
+    logits: jax.Array,
+    target: jax.Array,
+    mask: Optional[jax.Array] = None,
+    ignored_ids: Tuple[int, ...] = (0,),
+) -> Tuple[jax.Array, jax.Array]:
+    """(correct, incorrect) ratios ignoring background
+    (compute_corr_incorr, tools/metrics.py:105-129).
+
+    Both ratios are relative to the total number of (valid) keypoints, like
+    the reference (denominator = numel(target)).
+    """
+    pred = jnp.argmax(logits, axis=-1)
+    ignore = jnp.zeros_like(target, dtype=bool)
+    for i in ignored_ids:
+        ignore |= target == i
+    valid = ~ignore
+    if mask is not None:
+        valid &= mask
+        total = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    else:
+        total = float(target.size)
+    corr = jnp.sum(((pred == target) & valid).astype(jnp.float32)) / total
+    incorr = jnp.sum(((pred != target) & valid).astype(jnp.float32)) / total
+    return corr, incorr
+
+
+def seg_iou_precision(
+    logits: jax.Array,  # [B, N, C]
+    target: jax.Array,
+    mask: Optional[jax.Array] = None,
+    n_class: Optional[int] = None,
+    ignore_background: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Mean IoU and precision over classes present in the ground truth
+    (tools/metrics.py:12-68 semantics, vectorized).
+    """
+    c = n_class or logits.shape[-1]
+    pred = jnp.argmax(logits, axis=-1)
+    valid = (
+        mask if mask is not None else jnp.ones_like(target, dtype=bool)
+    )
+    pred_oh = jax.nn.one_hot(pred, c, dtype=jnp.float32) * valid[..., None]
+    gt_oh = jax.nn.one_hot(target, c, dtype=jnp.float32) * valid[..., None]
+    inter = jnp.sum(pred_oh * gt_oh, axis=tuple(range(pred_oh.ndim - 1)))
+    pred_n = jnp.sum(pred_oh, axis=tuple(range(pred_oh.ndim - 1)))
+    gt_n = jnp.sum(gt_oh, axis=tuple(range(gt_oh.ndim - 1)))
+    union = pred_n + gt_n - inter
+    present = gt_n > 0
+    if ignore_background:
+        present = present & (jnp.arange(c) != 0)
+    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-8), 0.0)
+    prec = jnp.where(gt_n > 0, inter / jnp.maximum(gt_n, 1e-8), 0.0)
+    denom = jnp.maximum(jnp.sum(present.astype(jnp.float32)), 1.0)
+    mean_iou = jnp.sum(jnp.where(present, iou, 0.0)) / denom
+    mean_prec = jnp.sum(jnp.where(present, prec, 0.0)) / denom
+    return mean_iou, mean_prec
