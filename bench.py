@@ -1,10 +1,12 @@
 """End-to-end relocalization throughput benchmark (one chip).
 
-Measures query frames/sec through the full compiled pipeline at 7Scenes
-scale: SFD2 extraction (480x640) -> SegNetViT nc113 recognition (512 tokens)
--> candidate matching (GML, 9 layers) -> batched PnP/RANSAC -> projection
-refinement. Weights are random (throughput is weight-independent); accuracy
-parity is covered by the synthetic end-to-end tests.
+Measures query frames/sec through the full pipeline at 7Scenes scale:
+SFD2 extraction (480x640) -> SegNetViT nc113 recognition (512 tokens) ->
+candidate matching (GML, 9 layers, seg_k=4 candidates) -> batched
+PnP/RANSAC -> projection refinement. Weights are random (throughput is
+weight-independent); accuracy parity is covered by the synthetic end-to-end
+tests. Stages are jitted separately to bound compile time; the reported
+number is wall-clock over whole batches streamed through all stages.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
@@ -12,6 +14,7 @@ vs_baseline is against the BASELINE.json north-star of 2000 frames/sec/chip.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -19,6 +22,16 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: the tunnel-attached TPU backend has very
+    # slow first compiles; cache compiled executables across processes
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from pram_tpu.engine.localizer import LocConfig, Localizer
@@ -31,7 +44,7 @@ def main():
     from pram_tpu.models.sfd2 import ResNet4x, extract
 
     rng = np.random.RandomState(0)
-    batch = 8
+    batch = 16
     n_kpts = 512
     height, width = 480, 640
     n_class = 113
@@ -68,9 +81,9 @@ def main():
     )
     loc = Localizer(dmap, make_gml_match_fn(gml, gvars), cfg)
 
-    # ---- full pipeline, one jit
+    # ---- stage 1+2: extraction + recognition (one jit)
     @jax.jit
-    def pipeline(key, images):
+    def front(images):
         feats = extract(
             sfd2, sfd2_vars, images, max_keypoints=n_kpts, conf_th=1e-4
         )
@@ -81,41 +94,32 @@ def main():
             kps.xy / jnp.asarray([width, height], jnp.float32) - 0.5,
             kps.mask,
         )["prediction"]
-        cam_p = jnp.broadcast_to(
-            jnp.asarray(
-                [500.0, 500.0, width / 2, height / 2, 0, 0, 0, 0],
-                jnp.float32,
-            ),
-            (images.shape[0], 8),
-        )
-        cam_s = jnp.broadcast_to(
-            jnp.asarray([width, height], jnp.float32), (images.shape[0], 2)
-        )
-        keys = jax.random.split(key, images.shape[0])
-        from pram_tpu.engine.localizer import localize_frame
+        return kps.xy, kps.scores, feats["descriptors"], kps.mask, logits
 
-        res = jax.vmap(
-            lambda k, cp, cs, kp, sc, de, ma, lo: localize_frame(
-                k, dmap, loc.match_fn, Camera(cp, cs), kp, sc, de, ma, lo, cfg
-            )
-        )(
-            keys, cam_p, cam_s, kps.xy, kps.scores,
-            feats["descriptors"], kps.mask, logits,
-        )
-        return res.qvec, res.tvec, res.num_inliers
-
+    cam_p = jnp.broadcast_to(
+        jnp.asarray(
+            [500.0, 500.0, width / 2, height / 2, 0, 0, 0, 0], jnp.float32
+        ),
+        (batch, 8),
+    )
+    cam_s = jnp.broadcast_to(
+        jnp.asarray([width, height], jnp.float32), (batch, 2)
+    )
+    camera = Camera(cam_p, cam_s)
     images = jnp.asarray(rng.rand(batch, height, width, 3).astype(np.float32))
     key = jax.random.PRNGKey(0)
 
     # warmup / compile
-    out = pipeline(key, images)
-    jax.block_until_ready(out)
+    f = front(images)
+    res = loc.localize_batch(key, camera, *f)
+    jax.block_until_ready(res.qvec)
 
-    iters = 5
+    iters = 8
     t0 = time.perf_counter()
     for i in range(iters):
-        out = pipeline(jax.random.fold_in(key, i), images)
-    jax.block_until_ready(out)
+        f = front(images)
+        res = loc.localize_batch(jax.random.fold_in(key, i), camera, *f)
+    jax.block_until_ready(res.qvec)
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
 

@@ -223,8 +223,48 @@ def p3p_grunert(
     )
     Pw = jnp.broadcast_to(points[..., None, :, :], Xc.shape)
 
-    R, t = horn_align(Pw, Xc)
-    return R, t, valid
+    # exact rigid alignment of a minimal (noise-free by construction) point
+    # triple via orthonormal triads — no SVD/eig (those are slow batched on
+    # TPU); degenerate (collinear) triples are masked out
+    R, t, tri_ok = _triad_align(Pw, Xc)
+    return R, t, valid & tri_ok
+
+
+def _triad_align(
+    src: jax.Array, dst: jax.Array, eps: float = 1e-9
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact rigid transform aligning 3-point sets via orthonormal triads.
+
+    Builds a Gram-Schmidt frame from (P2-P1, P3-P1) in both coordinate
+    systems; R maps the source frame onto the destination frame. Exact when
+    the point sets are congruent (P3P solutions are, by construction).
+
+    Args:
+      src, dst: ``[..., 3, 3]`` (three points, row-wise).
+
+    Returns:
+      (R ``[..., 3, 3]``, t ``[..., 3]``, valid ``[...]`` — False for
+      (near-)collinear triples).
+    """
+
+    def frame(p):
+        u1 = p[..., 1, :] - p[..., 0, :]
+        u2 = p[..., 2, :] - p[..., 0, :]
+        n1 = jnp.linalg.norm(u1, axis=-1, keepdims=True)
+        e1 = u1 / jnp.maximum(n1, eps)
+        u2p = u2 - jnp.sum(u2 * e1, axis=-1, keepdims=True) * e1
+        n2 = jnp.linalg.norm(u2p, axis=-1, keepdims=True)
+        e2 = u2p / jnp.maximum(n2, eps)
+        e3 = jnp.cross(e1, e2)
+        E = jnp.stack([e1, e2, e3], axis=-1)  # columns
+        ok = (n1[..., 0] > eps) & (n2[..., 0] > eps)
+        return E, ok
+
+    Ew, ok_w = frame(src)
+    Ec, ok_c = frame(dst)
+    R = Ec @ jnp.swapaxes(Ew, -1, -2)
+    t = dst[..., 0, :] - jnp.einsum("...ij,...j->...i", R, src[..., 0, :])
+    return R, t, ok_w & ok_c
 
 
 def horn_align(src: jax.Array, dst: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -245,6 +285,40 @@ def horn_align(src: jax.Array, dst: jax.Array) -> Tuple[jax.Array, jax.Array]:
     R = V @ S @ Ut
     t = cd[..., 0, :] - jnp.einsum("...ij,...j->...i", R, cs[..., 0, :])
     return R, t
+
+
+def solve_spd_6x6(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b for symmetric positive-definite 6x6 A (batched).
+
+    Fully unrolled Cholesky + triangular solves: ~100 scalar ops that XLA
+    vectorizes across the batch. (jnp.linalg.solve's pivoted LU takes minutes
+    to *compile* on TPU for this use inside scans — this is the fast path for
+    the Gauss-Newton normal equations.)
+    """
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +427,7 @@ def gauss_newton_pose(
         JtJ = jnp.einsum("...nik,...nil->...kl", J * w2[..., None], J)
         Jtr = jnp.einsum("...nik,...ni->...k", J * w2[..., None], r)
         JtJ = JtJ + damping * jnp.eye(6, dtype=JtJ.dtype)
-        delta = -jnp.linalg.solve(JtJ, Jtr[..., None])[..., 0]
+        delta = -solve_spd_6x6(JtJ, Jtr)
         dw, dt = delta[..., :3], delta[..., 3:]
         Rd = so3_exp(dw)
         Rn = Rd @ R
