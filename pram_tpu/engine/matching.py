@@ -60,3 +60,30 @@ def make_gm_match_fn(model, variables, threshold: float = 0.2) -> MatchFn:
         return mutual_matches(out["plan"], threshold).matches0
 
     return fn
+
+
+def with_scores(model, variables, threshold: float = 0.2, uses_scores=False):
+    """Score-returning variant: fn(...) -> (matches0, matching_scores0)."""
+
+    def fn(d0, nk0, s0, m0, d1, nk1, s1, m1):
+        if uses_scores:
+            out = model.apply(variables, d0, d1, nk0, nk1, s0, s1, m0, m1)
+        else:
+            out = model.apply(variables, d0, d1, nk0, nk1, m0, m1)
+        res = mutual_matches(out["plan"], threshold)
+        return res.matches0, res.scores0
+
+    return fn
+
+
+def nn_with_scores(
+    ratio_threshold: Optional[float] = None,
+    distance_threshold: Optional[float] = None,
+):
+    def fn(d0, nk0, s0, m0, d1, nk1, s1, m1):
+        res = mutual_nn_match(
+            d0, d1, m0, m1, ratio_threshold, distance_threshold
+        )
+        return res.matches0, res.scores0
+
+    return fn
