@@ -1,0 +1,103 @@
+"""Recognition training CLI.
+
+Rebuild of train.py:28-170: load the experiment YAML, compose the multi-scene
+dataset, build the recognition model, train data-parallel. Instead of
+mp.spawn + NCCL DDP (train.py:64-108), one process drives a pjit'd step over
+the local device mesh; multi-host runs shard the input pipeline by host id
+(data/loader.py).
+
+Usage:
+  python -m pram_tpu.cli.train --config configs/config_train_7scenes_sfd2.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--save_dir", default=None)
+    ap.add_argument("--no_mesh", action="store_true",
+                    help="single-device (debug)")
+    args = ap.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from pram_tpu.core.config import load_config
+    from pram_tpu.data.loader import BatchLoader
+    from pram_tpu.data.scene import normalize_size
+    from pram_tpu.data.scenes import compose_scenes
+    from pram_tpu.models.registry import build_recognizer
+    from pram_tpu.train.trainer import Trainer, make_data_mesh
+
+    cfg = load_config(args.config)
+    tcfg = cfg.train_config()
+
+    dataset = compose_scenes(
+        cfg.dataset,
+        {
+            "landmark_path": cfg.landmark_path,
+            "dataset_path": cfg.dataset_path,
+            "config_path": cfg.config_path,
+            "max_keypoints": cfg.max_keypoints,
+            "eval_max_keypoints": cfg.eval_max_keypoints,
+            "min_inliers": cfg.min_inliers,
+            "max_inliers": cfg.max_inliers,
+        },
+        train=True,
+    )
+    n_class = dataset.n_class
+    print(f"composed {len(dataset)} samples, {n_class} classes")
+
+    model = build_recognizer(
+        cfg.network,
+        {
+            "descriptor_dim": 256 if cfg.use_mid_feature else cfg.feat_dim,
+            "output_dim": cfg.output_dim,
+            "n_class": n_class,
+            "n_layers": cfg.layers,
+        },
+    )
+
+    # example batch for init (loader emits fixed shapes)
+    loader = BatchLoader(
+        dataset,
+        batch_size=cfg.batch_size,
+        train=True,
+        num_workers=cfg.workers,
+        its_per_epoch=cfg.its_per_epoch,
+        num_hosts=jax.process_count(),
+        host_id=jax.process_index(),
+    )
+    example = next(iter(loader.epoch(0)))
+    # descriptors must come from the cached features (export with
+    # descriptors) — the with_aug in-step extraction path is
+    # pram_tpu.train.augmented
+    if "seg_descriptors" not in example:
+        raise SystemExit(
+            "training from cached features requires the feature export to "
+            "include descriptors (RecMap.export_features_to_directory with "
+            "with_descriptors=True); for on-the-fly augmentation see "
+            "pram_tpu.train.augmented"
+        )
+
+    mesh = None if args.no_mesh else make_data_mesh()
+    save_dir = args.save_dir or osp.join(
+        cfg.save_path,
+        time.strftime("%Y%m%d_%H%M%S")
+        + f"_{cfg.network}_L{cfg.layers}_nc{n_class}",
+    )
+    trainer = Trainer(model, tcfg, example, save_dir=save_dir, mesh=mesh)
+    if cfg.resume_path:
+        trainer.restore_checkpoint(cfg.resume_path)
+    trainer.train(lambda epoch: loader.epoch(epoch))
+
+
+if __name__ == "__main__":
+    main()

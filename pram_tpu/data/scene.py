@@ -181,6 +181,10 @@ class SceneDataset:
         kpts = np.asarray(feat["keypoints"], np.float64)[:, :2]
         scores = np.asarray(feat["scores"], np.float64).reshape(-1)
         image_size = np.asarray(feat["image_size"]).reshape(-1)[:2]
+        # cached descriptors enable the no-augmentation training path (the
+        # reference always re-extracts in-step, trainer.py:106-130; we
+        # support both)
+        descs = feat.get("descriptors")
 
         image_id = self.name_to_id[img_name]
         p3d_ids = self.images[image_id].point3D_ids
@@ -191,6 +195,9 @@ class SceneDataset:
         sel_scores = scores[sel]
         sel_seg = seg_ids[sel]
         sel_xyz = xyzs[sel]
+        sel_desc = (
+            np.asarray(descs, np.float32)[sel] if descs is not None else None
+        )
 
         # pad to exactly nfeatures with jittered copies of labeled keypoints
         # (basicdataset.py:243-262 / random_points_from_reference:449-477)
@@ -209,6 +216,8 @@ class SceneDataset:
             sel_scores = np.concatenate([sel_scores, rng.random(short)])
             sel_seg = np.concatenate([sel_seg, sel_seg[ref]])
             sel_xyz = np.vstack([sel_xyz, sel_xyz[ref]])
+            if sel_desc is not None:
+                sel_desc = np.vstack([sel_desc, sel_desc[ref]])
 
         gt_cls, gt_n_seg, gt_cls_dist = self._gt_stats(sel_seg, seg_ids)
 
@@ -220,7 +229,7 @@ class SceneDataset:
         P[:3, :3] = _qvec2rotmat_np(im.qvec)
         P[:3, 3] = im.tvec
 
-        return {
+        out = {
             "scores": sel_scores.astype(np.float32),
             "keypoints": sel_kpts.astype(np.float32),
             "norm_keypoints": normalize_size(sel_kpts, image_size).astype(
@@ -236,6 +245,9 @@ class SceneDataset:
             "camera_params": pack_camera_params(cam),
             "gt_P": P.astype(np.float32),
         }
+        if sel_desc is not None:
+            out["seg_descriptors"] = sel_desc
+        return out
 
     def get_test_item(self, idx: int) -> Dict:
         """Eval item: top-nfeatures keypoints by score, descriptors included
