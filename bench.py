@@ -44,7 +44,7 @@ def main():
     from pram_tpu.models.sfd2 import ResNet4x, extract
 
     rng = np.random.RandomState(0)
-    batch = 16
+    batch = 8
     n_kpts = 512
     height, width = 480, 640
     n_class = 113
@@ -68,10 +68,14 @@ def main():
         jnp.zeros((1, 8, 2), jnp.float32),
     )
 
-    # ---- synthetic 7Scenes-scale map (descriptor dim must match matcher)
+    # ---- synthetic 7Scenes-scale map (descriptor dim must match matcher).
+    # Per-frame keypoint tables are capped at 1024 (the reference's VRF
+    # frames carry ~1k labeled keypoints after compression) — uncapped
+    # synthetic frames see most of the cloud and blow up matcher attention.
     scene = make_synthetic_scene(
         rng, n_cluster=16, points_per_cluster=400, n_ref_frames=12,
         desc_dim=128, width=width, height=height,
+        max_kp_per_frame=1024, max_ref_points=2048,
     )
     dmap = to_device(scene.map)
 

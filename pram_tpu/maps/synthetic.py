@@ -128,6 +128,8 @@ def make_synthetic_scene(
     height: int = 480,
     start_sid: int = 0,
     scene_name: str = "synth",
+    max_kp_per_frame=None,
+    max_ref_points=None,
 ) -> SyntheticScene:
     """Build a synthetic PackedMap with VRFs and distinctive descriptors."""
     f = 500.0
@@ -223,6 +225,8 @@ def make_synthetic_scene(
         n_cluster=n_cluster,
         covisibility_frame=4,
         scene_name=scene_name,
+        max_kp_per_frame=max_kp_per_frame,
+        max_ref_points=max_ref_points,
     )
     return SyntheticScene(
         map=pmap,
