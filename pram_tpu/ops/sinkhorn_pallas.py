@@ -1,0 +1,119 @@
+"""Fused Pallas TPU kernel for Sinkhorn-with-dustbin.
+
+The XLA formulation (ops/sinkhorn.py) scans 20 u/v updates, each reading the
+[N+1, M+1] softmax'd plan from HBM twice — ~40 plan-sized HBM round trips per
+matcher call. This kernel keeps the plan in VMEM scratch for the whole
+iteration (a 1025x1025 f32 plan is ~4.2 MB, well under the ~16 MB VMEM
+budget): one HBM read of the similarity matrix, one write of the final plan.
+
+Numerics match ops/sinkhorn.py (and hence the reference nets/gml.py:27-46)
+exactly: same augmented softmax, same u/v update order, same masked-marginal
+formulation; verified elementwise in tests (interpret mode on CPU, compiled
+on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-8
+
+
+def _sinkhorn_kernel(num_iters, sim_ref, dustbin_ref, r_ref, c_ref, out_ref,
+                     p_ref):
+    """One batch element: sim [N, M] -> plan [N+1, M+1] (VMEM-resident).
+
+    r_ref [N+1, 1] and c_ref [1, M+1] carry the (masked) marginals; padded
+    rows/cols have zero mass, which zeroes their scaling factors after the
+    first iteration exactly like the XLA path.
+    """
+    n, m = sim_ref.shape
+    bin_score = dustbin_ref[0, 0]
+
+    # build the augmented matrix in VMEM scratch
+    p_ref[:n, :m] = sim_ref[:, :]
+    p_ref[:n, m:] = jnp.full((n, 1), bin_score, p_ref.dtype)
+    p_ref[n:, :] = jnp.full((1, m + 1), bin_score, p_ref.dtype)
+
+    # row softmax
+    row_max = jnp.max(p_ref[:, :], axis=1, keepdims=True)
+    e = jnp.exp(p_ref[:, :] - row_max)
+    p = e / jnp.sum(e, axis=1, keepdims=True)
+    p_ref[:, :] = p
+
+    r = r_ref[:, :]  # [N+1, 1]
+    c = c_ref[:, :]  # [1, M+1]
+
+    def body(_, uv):
+        u, v = uv
+        pv = jnp.sum(p_ref[:, :] * v, axis=1, keepdims=True)  # [N+1, 1]
+        u = r / (pv + _EPS)
+        pu = jnp.sum(p_ref[:, :] * u, axis=0, keepdims=True)  # [1, M+1]
+        v = c / (pu + _EPS)
+        return u, v
+
+    u0 = jnp.ones_like(r)
+    v0 = jnp.ones_like(c)
+    u, v = jax.lax.fori_loop(0, num_iters, body, (u0, v0))
+    out_ref[:, :] = p_ref[:, :] * u * v
+
+
+def sinkhorn_matching_pallas(
+    sim: jax.Array,
+    dustbin: jax.Array,
+    num_iters: int = 20,
+    mask0: Optional[jax.Array] = None,
+    mask1: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in replacement for ops.sinkhorn.sinkhorn_matching on TPU.
+
+    Args/semantics identical; requires the augmented plan to fit VMEM
+    (N, M up to ~1500 in f32).
+    """
+    b, n, m = sim.shape
+    dtype = sim.dtype
+
+    if mask0 is None:
+        r_valid = jnp.ones((b, n), dtype)
+        n_valid = jnp.full((b,), float(n + 1), dtype)
+    else:
+        r_valid = mask0.astype(dtype)
+        n_valid = jnp.sum(r_valid, axis=-1) + 1.0
+    if mask1 is None:
+        c_valid = jnp.ones((b, m), dtype)
+        m_valid = jnp.full((b,), float(m + 1), dtype)
+    else:
+        c_valid = mask1.astype(dtype)
+        m_valid = jnp.sum(c_valid, axis=-1) + 1.0
+    r = jnp.concatenate([r_valid, n_valid[:, None]], -1)[..., None]  # [B,N+1,1]
+    c = jnp.concatenate([c_valid, m_valid[:, None]], -1)[:, None, :]  # [B,1,M+1]
+    dustbin2d = jnp.broadcast_to(
+        jnp.asarray(dustbin, dtype).reshape(1, 1), (1, 1)
+    )
+
+    kernel = functools.partial(_sinkhorn_kernel, num_iters)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n + 1, m + 1), dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n + 1, m + 1), dtype)],
+        interpret=interpret,
+    )
+
+    def one(sim_i, r_i, c_i):
+        return call(sim_i, dustbin2d, r_i, c_i)
+
+    return jax.vmap(one)(sim, r, c)
