@@ -1,0 +1,72 @@
+"""Mesh construction and sharding helpers.
+
+TPU-native replacement of the reference's NCCL process-group setup
+(train.py:64-68: hardcoded localhost master, one process per GPU via
+mp.spawn). On TPU: one process per host, ``jax.distributed.initialize()``
+discovers peers from the runtime environment, and parallelism is expressed
+as a jax.sharding.Mesh — DP over the 'data' axis is the first-class strategy
+(the reference's only one, SURVEY.md §2.3); the mesh helper also supports a
+trailing 'model' axis for sharding large recognition heads (an extension
+beyond reference parity, used by shard_params_for_model_axis).
+
+Collectives ride ICI inside a slice and DCN across slices automatically via
+XLA's SPMD partitioner — there are no explicit NCCL calls to translate.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Multi-host init (no-op single-host). Safe to call repeatedly."""
+    if jax.process_count() > 1:
+        return  # already initialized by the runtime
+    if coordinator_address is None and num_processes in (None, 1):
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(
+    data: Optional[int] = None, model: int = 1, devices=None
+) -> Mesh:
+    """('data',) or ('data', 'model') mesh over the given/all devices."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    if data is None:
+        data = devs.size // model
+    assert data * model <= devs.size, (
+        f"mesh {data}x{model} needs {data * model} devices, have {devs.size}"
+    )
+    devs = devs[: data * model].reshape(data, model)
+    if model == 1:
+        return Mesh(devs[:, 0], axis_names=("data",))
+    return Mesh(devs, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding over 'data' (per-device batch slices)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
+    """Place a host batch onto the mesh, sharded over 'data'."""
+    sh = data_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh), batch
+    )
