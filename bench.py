@@ -45,28 +45,37 @@ def main():
 
     rng = np.random.RandomState(0)
     batch = 8
+    compute_dtype = jnp.bfloat16  # MXU-native; coords/Sinkhorn/PnP stay f32
     n_kpts = 512
     height, width = 480, 640
     n_class = 113
 
     # ---- models (random weights)
+    def cast_tree(t):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32
+            else a,
+            t,
+        )
+
     sfd2 = ResNet4x()
     img0 = jnp.zeros((batch, height, width, 3), jnp.float32)
-    sfd2_vars = sfd2.init(jax.random.PRNGKey(0), img0)
+    sfd2_vars = cast_tree(sfd2.init(jax.random.PRNGKey(0), img0))
 
     rec = SegNetViT(SegNetViTConfig(n_class=n_class))
     d0 = jnp.zeros((batch, n_kpts, 256), jnp.float32)
     k0 = jnp.zeros((batch, n_kpts, 2), jnp.float32)
-    rec_vars = rec.init(jax.random.PRNGKey(1), d0, k0)
+    rec_vars = cast_tree(rec.init(jax.random.PRNGKey(1), d0, k0))
 
     gml = GML(GMLConfig())
-    gvars = gml.init(
+    gvars = cast_tree(gml.init(
         jax.random.PRNGKey(2),
         jnp.zeros((1, 8, 128), jnp.float32),
         jnp.zeros((1, 8, 128), jnp.float32),
         jnp.zeros((1, 8, 2), jnp.float32),
         jnp.zeros((1, 8, 2), jnp.float32),
-    )
+    ))
 
     # ---- synthetic 7Scenes-scale map (descriptor dim must match matcher).
     # Per-frame keypoint tables are capped at 1024 (the reference's VRF
@@ -78,6 +87,11 @@ def main():
         max_kp_per_frame=1024, max_ref_points=2048,
     )
     dmap = to_device(scene.map)
+    # map descriptors in the compute dtype: the matcher and the refinement
+    # NN run on them (similarities still accumulate in f32)
+    dmap = dmap._replace(
+        point_desc=dmap.point_desc.astype(compute_dtype)
+    )
 
     cfg = LocConfig(
         seg_k=4, min_inliers=32, threshold=8.0, num_hypotheses=256,
@@ -89,7 +103,8 @@ def main():
     @jax.jit
     def front(images):
         feats = extract(
-            sfd2, sfd2_vars, images, max_keypoints=n_kpts, conf_th=1e-4
+            sfd2, sfd2_vars, images.astype(compute_dtype),
+            max_keypoints=n_kpts, conf_th=1e-4,
         )
         kps = feats["keypoints"]
         logits = rec.apply(
@@ -98,7 +113,13 @@ def main():
             kps.xy / jnp.asarray([width, height], jnp.float32) - 0.5,
             kps.mask,
         )["prediction"]
-        return kps.xy, kps.scores, feats["descriptors"], kps.mask, logits
+        return (
+            kps.xy,
+            kps.scores.astype(jnp.float32),
+            feats["descriptors"].astype(compute_dtype),
+            kps.mask,
+            logits.astype(jnp.float32),
+        )
 
     cam_p = jnp.broadcast_to(
         jnp.asarray(

@@ -68,8 +68,10 @@ def extract_keypoints(
 
     flat = bordered.reshape(b, h * w)
     vals, idx = lax.top_k(flat, max_keypoints)
-    ys = (idx // w).astype(nms_scores.dtype)
-    xs = (idx % w).astype(nms_scores.dtype)
+    # coordinates always f32: bf16 score maps would quantize pixel positions
+    # (8-bit mantissa -> +-2px at x=640)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
     xy = jnp.stack([xs, ys], axis=-1)
 
     # Adaptive threshold: the reference counts above-threshold maxima *before*
