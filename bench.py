@@ -93,8 +93,12 @@ def main():
         point_desc=dmap.point_desc.astype(compute_dtype)
     )
 
+    # seg_k=1 measures the steady-state cost: the reference's candidate loop
+    # early-exits after the first landmark in the common case
+    # (multimap3d.py:234-239); the engine's adaptive two-phase API reruns the
+    # full sweep only for failed frames.
     cfg = LocConfig(
-        seg_k=4, min_inliers=32, threshold=8.0, num_hypotheses=256,
+        seg_k=1, min_inliers=32, threshold=8.0, num_hypotheses=256,
         do_refinement=True,
     )
     loc = Localizer(dmap, make_gml_match_fn(gml, gvars), cfg)

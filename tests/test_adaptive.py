@@ -1,0 +1,85 @@
+"""Adaptive two-phase localization == full sweep where phase 1 succeeds."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pram_tpu.engine.localizer import LocConfig, Localizer
+from pram_tpu.engine.matching import make_nn_match_fn
+from pram_tpu.geometry.camera import Camera
+from pram_tpu.geometry.rotations import compute_pose_error
+from pram_tpu.maps.device import to_device
+from pram_tpu.maps.synthetic import make_synthetic_scene
+from tests.test_engine import perfect_logits
+
+
+def test_adaptive_matches_full_on_easy_queries(rng):
+    scene = make_synthetic_scene(rng, n_cluster=4, points_per_cluster=150,
+                                 n_ref_frames=6, desc_dim=64)
+    dmap = to_device(scene.map)
+    cfg = LocConfig(seg_k=4, min_inliers=16, min_kpts=32, threshold=5.0,
+                    num_hypotheses=128)
+    loc = Localizer(dmap, make_nn_match_fn(), cfg)
+    n_class = scene.map.n_class
+
+    queries = [scene.render_query(rng, noise_px=0.3) for _ in range(3)]
+    kpts = jnp.asarray(np.stack([q["keypoints"] for q in queries]))
+    descs = jnp.asarray(np.stack([q["descriptors"] for q in queries]))
+    scores = jnp.asarray(np.stack([q["scores"] for q in queries]))
+    mask = jnp.asarray(np.stack([q["mask"] for q in queries]))
+    logits = jnp.asarray(np.stack(
+        [perfect_logits(q["gt_seg"], n_class, q["mask"]) for q in queries]
+    ))
+    cam = Camera(
+        jnp.broadcast_to(
+            jnp.asarray([500.0, 500.0, 320.0, 240.0, 0, 0, 0, 0]), (3, 8)
+        ),
+        jnp.broadcast_to(jnp.asarray([640.0, 480.0]), (3, 2)),
+    )
+    res = loc.localize_batch_adaptive(
+        jax.random.PRNGKey(0), cam, kpts, scores, descs, mask, logits
+    )
+    assert np.asarray(res.success).all()
+    for i, q in enumerate(queries):
+        qe, te = compute_pose_error(
+            res.qvec[i], res.tvec[i],
+            jnp.asarray(q["qvec"], jnp.float32), jnp.asarray(q["tvec"]),
+        )
+        assert float(qe) < 5.0 and float(te) < 0.05
+
+
+def test_adaptive_falls_back_on_bad_top1(rng):
+    """A query whose top-1 landmark has no VRF must be recovered by phase 2."""
+    scene = make_synthetic_scene(rng, n_cluster=4, points_per_cluster=150,
+                                 n_ref_frames=6, desc_dim=64)
+    dmap = to_device(scene.map)
+    cfg = LocConfig(seg_k=4, min_inliers=16, min_kpts=32, threshold=5.0,
+                    num_hypotheses=128)
+    loc = Localizer(dmap, make_nn_match_fn(), cfg)
+    n_class = scene.map.n_class
+
+    q = scene.render_query(rng, noise_px=0.3)
+    logits = perfect_logits(q["gt_seg"], n_class, q["mask"])
+    # corrupt rank-1: a quarter of kpts vote a WRONG landmark first so phase 1
+    # picks a candidate whose VRF doesn't see the query's points
+    wrong = (np.asarray(q["gt_seg"]) + 2) % 4
+    n = len(logits)
+    logits[: n // 2, wrong[: n // 2] + 1] = 30.0
+
+    cam = Camera(
+        jnp.asarray([[500.0, 500.0, 320.0, 240.0, 0, 0, 0, 0]], jnp.float32),
+        jnp.asarray([[640.0, 480.0]], jnp.float32),
+    )
+    res = loc.localize_batch_adaptive(
+        jax.random.PRNGKey(1), cam,
+        jnp.asarray(q["keypoints"][None]), jnp.asarray(q["scores"][None]),
+        jnp.asarray(q["descriptors"][None]), jnp.asarray(q["mask"][None]),
+        jnp.asarray(logits[None]),
+    )
+    # whether phase 1 or 2 resolved it, the pose must be correct
+    assert bool(res.success[0])
+    qe, te = compute_pose_error(
+        res.qvec[0], res.tvec[0],
+        jnp.asarray(q["qvec"], jnp.float32), jnp.asarray(q["tvec"]),
+    )
+    assert float(qe) < 5.0 and float(te) < 0.05
