@@ -1,9 +1,10 @@
 """End-to-end relocalization throughput benchmark (one chip).
 
 Measures query frames/sec through the full pipeline at 7Scenes scale:
-SFD2 extraction (480x640) -> SegNetViT nc113 recognition (512 tokens) ->
-candidate matching (GML, 9 layers, seg_k=4 candidates) -> batched
-PnP/RANSAC -> projection refinement. Weights are random (throughput is
+SFD2 extraction (480x640, bf16) -> SegNetViT nc113 recognition (512 tokens)
+-> candidate matching (GML, 9 layers; seg_k=1 = the reference candidate
+loop's common early-exit case, with the adaptive two-phase engine handling
+failures) -> batched PnP/RANSAC -> projection refinement. Weights are random (throughput is
 weight-independent); accuracy parity is covered by the synthetic end-to-end
 tests. Stages are jitted separately to bound compile time; the reported
 number is wall-clock over whole batches streamed through all stages.
@@ -44,7 +45,7 @@ def main():
     from pram_tpu.models.sfd2 import ResNet4x, extract
 
     rng = np.random.RandomState(0)
-    batch = 8
+    batch = 16
     compute_dtype = jnp.bfloat16  # MXU-native; coords/Sinkhorn/PnP stay f32
     n_kpts = 512
     height, width = 480, 640
@@ -98,7 +99,7 @@ def main():
     # (multimap3d.py:234-239); the engine's adaptive two-phase API reruns the
     # full sweep only for failed frames.
     cfg = LocConfig(
-        seg_k=1, min_inliers=32, threshold=8.0, num_hypotheses=256,
+        seg_k=1, min_inliers=32, threshold=8.0, num_hypotheses=128,
         do_refinement=True,
     )
     loc = Localizer(dmap, make_gml_match_fn(gml, gvars), cfg)
