@@ -98,3 +98,22 @@ def seg_iou_precision(
     mean_iou = jnp.sum(jnp.where(present, iou, 0.0)) / denom
     mean_prec = jnp.sum(jnp.where(present, prec, 0.0)) / denom
     return mean_iou, mean_prec
+
+
+class SeqIoU:
+    """Streaming mean-IoU accumulator (tools/metrics.py:199-216): per-frame
+    IoUs are averaged over a whole evaluation sequence."""
+
+    def __init__(self):
+        self.total = 0.0
+        self.count = 0
+
+    def update(self, logits, target, mask=None) -> float:
+        iou, _ = seg_iou_precision(logits, target, mask)
+        v = float(iou)
+        self.total += v
+        self.count += 1
+        return v
+
+    def mean(self) -> float:
+        return self.total / max(self.count, 1)
