@@ -49,8 +49,22 @@ class SceneSpec:
     sfm_model_path: Optional[str] = None  # COLMAP model (train only)
     cluster_file: Optional[str] = None  # point3D_cluster_*.npy
     query_p3d_file: Optional[str] = None  # point3D_query_*.npy (eval)
+    gt_pose_file: Optional[str] = None  # queries_poses.txt (eval)
     n_class: int = 0  # n_cluster + 1 (incl. background 0)
     image_prefix: str = ""
+
+
+def read_gt_poses(path: str) -> Dict[str, Dict[str, np.ndarray]]:
+    """``name qw qx qy qz tx ty tz`` lines (localization/utils.py read_gt_pose)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split()
+            if len(parts) < 8:
+                continue
+            vals = np.array([float(v) for v in parts[1:8]])
+            out[parts[0]] = {"qvec": vals[:4], "tvec": vals[4:7]}
+    return out
 
 
 class SceneDataset:
@@ -107,6 +121,11 @@ class SceneDataset:
         self.img_p3d: Dict[str, np.ndarray] = {}
         if not train and spec.query_p3d_file is not None:
             self.img_p3d = np.load(spec.query_p3d_file, allow_pickle=True)[()]
+        self.gt_poses: Dict[str, Dict[str, np.ndarray]] = {}
+        if not train and spec.gt_pose_file is not None and osp.exists(
+            spec.gt_pose_file
+        ):
+            self.gt_poses = read_gt_poses(spec.gt_pose_file)
 
     def __len__(self) -> int:
         return len(self.img_fns)
@@ -277,7 +296,17 @@ class SceneDataset:
             return out
 
         gt_cls, gt_n_seg, gt_cls_dist = self._gt_stats(seg_ids, seg_ids)
+        gt = self.gt_poses.get(img_name)
+        out_pose = (
+            {
+                "gt_qvec": gt["qvec"].astype(np.float32),
+                "gt_tvec": gt["tvec"].astype(np.float32),
+            }
+            if gt is not None
+            else {}
+        )
         return {
+            **out_pose,
             "descriptors": pad(descs, (self.nfeatures, descs.shape[1])),
             "scores": pad(scores.astype(np.float32), (self.nfeatures,)),
             "keypoints": pad(kpts.astype(np.float32), (self.nfeatures, 2)),

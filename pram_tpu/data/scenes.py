@@ -174,6 +174,11 @@ def make_scene_dataset(
             scene_landmark,
             f"point3D_query_n{n_cluster}_{mode}_{method}.npy",
         ),
+        gt_pose_file=osp.join(
+            scene_data, scene_config.get("gt_pose_path", "queries_poses.txt")
+        )
+        if scene_config.get("gt_pose_path")
+        else None,
         n_class=n_cluster + 1,
         image_prefix=scene_config.get("image_path_prefix", ""),
     )
