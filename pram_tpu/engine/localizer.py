@@ -53,6 +53,8 @@ class LocConfig:
     num_hypotheses: int = 256
     match_threshold: float = 0.2  # matcher mutual-max gate
     projection_ratio: float = 0.995  # refine-by-projection NN ratio
+    refinement_method: str = "projection"  # 'projection' | 'matching'
+    covisibility_frame: int = 20  # covis frames used by matching refinement
     max_vrf_kpts: Optional[int] = None  # cap ref tokens fed to the matcher
 
 
@@ -305,12 +307,18 @@ def localize_frame(
     )  # [N]
     kpt_xyz = m_xyz[pick]
 
-    # -- 7. refinement by projection (singlemap3d.py:367-498)
+    # -- 7. refinement (singlemap3d.py:260-266 dispatch)
     if cfg.do_refinement:
-        Rr, tr, inl_r, ref_ok, r_pt_idx, r_xyz = _refine_by_projection(
-            keys[-1], dmap, camera, kpts, descs, mask, picked_slot,
-            R0, t0, cfg,
-        )
+        if cfg.refinement_method == "matching":
+            Rr, tr, inl_r, ref_ok, r_pt_idx, r_xyz = _refine_by_matching(
+                keys[-1], dmap, match_fn, camera, kpts, scores, descs, mask,
+                picked_slot, cfg,
+            )
+        else:
+            Rr, tr, inl_r, ref_ok, r_pt_idx, r_xyz = _refine_by_projection(
+                keys[-1], dmap, camera, kpts, descs, mask, picked_slot,
+                R0, t0, cfg,
+            )
         use = ref_ok & any_ok
         R_fin = jnp.where(use, Rr, R0)
         t_fin = jnp.where(use, tr, t0)
@@ -399,6 +407,82 @@ def _refine_by_projection(
     )
     kpt_point_idx = jnp.where(res.inliers, m_pt_idx, -1)
     return res.R, res.t, res.num_inliers, res.success, kpt_point_idx, m_xyz
+
+
+def _refine_by_matching(
+    key, dmap: DeviceMap, match_fn, camera: Camera, kpts, scores, descs,
+    mask, slot, cfg: LocConfig,
+):
+    """refine_pose_by_matching (singlemap3d.py:268-365), fixed-shape.
+
+    Matches the query against the chosen VRF's covisible frames (batched
+    through the matcher in one call instead of the reference's per-frame GPU
+    loop), stacks all 2D-3D matches, and solves one large RANSAC.
+    """
+    n = kpts.shape[0]
+    covis = dmap.vrf_covis[slot][: cfg.covisibility_frame]  # [C]
+    cvalid = covis >= 0
+    frames = jnp.clip(covis, 0, dmap.frame_R.shape[0] - 1)
+
+    ref_pt_idx = dmap.frame_point_idx[frames]  # [C, K]
+    ref_uv = dmap.frame_kp_uv[frames]
+    ref_score = dmap.frame_kp_score[frames]
+    ref_mask = dmap.frame_kp_mask[frames] & cvalid[:, None]
+    safe_pt = jnp.clip(ref_pt_idx, 0, dmap.point_xyz.shape[0] - 1)
+    ref_xyz = dmap.point_xyz[safe_pt]
+    ref_desc = dmap.point_desc[safe_pt]
+    ref_w = dmap.frame_size[frames][:, 0]
+    ref_h = dmap.frame_size[frames][:, 1]
+
+    c = frames.shape[0]
+    qw = camera.size[0]
+    qh = camera.size[1]
+    nk0 = jnp.broadcast_to(
+        normalize_kpts_like_reference(kpts, qw, qh)[None], (c, n, 2)
+    )
+    nk1 = jax.vmap(normalize_kpts_like_reference)(ref_uv, ref_w, ref_h)
+    d0 = jnp.broadcast_to(descs[None], (c,) + descs.shape)
+    s0 = jnp.broadcast_to(scores[None], (c, n))
+    m0 = jnp.broadcast_to(mask[None], (c, n))
+    matches = match_fn(
+        d0, nk0, s0, m0, ref_desc, nk1, ref_score, ref_mask
+    )  # [C, N]
+
+    m_valid = (matches >= 0) & mask[None]  # [C, N]
+    safe_m = jnp.clip(matches, 0, ref_xyz.shape[1] - 1)
+    m_xyz = jnp.take_along_axis(ref_xyz, safe_m[..., None], axis=1)
+    m_pt = jnp.where(
+        m_valid, jnp.take_along_axis(ref_pt_idx, safe_m, axis=1), -1
+    )
+
+    # stack: the correspondence set is the flattened [C*N] matches (a query
+    # keypoint may appear once per covisible frame, like the reference's
+    # vstack, singlemap3d.py:301-315)
+    uv_all = jnp.broadcast_to(kpts[None], (c, n, 2)).reshape(c * n, 2)
+    xyz_all = m_xyz.reshape(c * n, 3)
+    valid_all = m_valid.reshape(c * n)
+
+    res = ransac_pnp(
+        key,
+        camera,
+        uv_all + 0.5,
+        xyz_all,
+        valid_all,
+        inlier_threshold=cfg.threshold,
+        num_hypotheses=cfg.num_hypotheses,
+        min_inliers=cfg.min_inliers,
+    )
+    # per-keypoint association: first covis frame whose match is an inlier
+    inl = res.inliers.reshape(c, n)
+    pick_c = jnp.argmax(inl, axis=0)  # [N]
+    has = jnp.any(inl, axis=0)
+    kpt_point_idx = jnp.where(
+        has, jnp.take_along_axis(m_pt, pick_c[None], axis=0)[0], -1
+    )
+    kpt_xyz = jnp.take_along_axis(
+        m_xyz, pick_c[None, :, None], axis=0
+    )[0]
+    return res.R, res.t, res.num_inliers, res.success, kpt_point_idx, kpt_xyz
 
 
 class Localizer:

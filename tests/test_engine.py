@@ -177,3 +177,28 @@ def test_end_to_end_with_wrong_top1_recognition(rng):
         jnp.asarray(q["qvec"], jnp.float32), jnp.asarray(q["tvec"]),
     )
     assert float(qe) < 5.0 and float(te) < 0.05
+
+
+def test_end_to_end_with_matching_refinement(rng):
+    """The 'matching' refinement path (singlemap3d.py:268-365) also recovers
+    poses on the synthetic scene."""
+    scene, _ = _setup_localizer(rng)
+    from pram_tpu.engine.localizer import LocConfig, Localizer
+    from pram_tpu.engine.matching import make_nn_match_fn
+    from pram_tpu.maps.device import to_device
+
+    dmap = to_device(scene.map)
+    cfg = LocConfig(
+        seg_k=4, min_inliers=16, min_kpts=32, threshold=5.0,
+        num_hypotheses=128, refinement_method="matching",
+        covisibility_frame=4,
+    )
+    loc = Localizer(dmap, make_nn_match_fn(), cfg)
+    queries, res = _run_queries(rng, scene, loc, n_queries=2)
+    assert np.asarray(res.success).all()
+    for i, q in enumerate(queries):
+        qe, te = compute_pose_error(
+            res.qvec[i], res.tvec[i],
+            jnp.asarray(q["qvec"], jnp.float32), jnp.asarray(q["tvec"]),
+        )
+        assert float(qe) < 5.0 and float(te) < 0.05
