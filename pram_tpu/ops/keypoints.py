@@ -31,6 +31,31 @@ class Keypoints(NamedTuple):
     mask: jax.Array
 
 
+def _two_stage_top_k(flat: jax.Array, k: int):
+    """Exact top-k via group-wise top-k then a small global top-k.
+
+    A global ``lax.top_k`` over H*W (~300k) elements is sort-bound; splitting
+    into G groups and taking k per group first is exact (any global top-k
+    element is within its group's top-k) and much cheaper when
+    G*k << H*W. Returns (values, flat indices), like lax.top_k.
+    """
+    b, n = flat.shape
+    # pick a group count so that each group has >= k elements and the
+    # second stage stays small
+    g = max(1, min(n // max(k, 1), 64))
+    if g <= 1 or n % g != 0:
+        return lax.top_k(flat, k)
+    m = n // g
+    grouped = flat.reshape(b, g, m)
+    v1, i1 = lax.top_k(grouped, min(k, m))  # [B, G, k]
+    base = (jnp.arange(g, dtype=jnp.int32) * m)[None, :, None]
+    idx1 = i1.astype(jnp.int32) + base
+    v1 = v1.reshape(b, -1)
+    idx1 = idx1.reshape(b, -1)
+    v2, i2 = lax.top_k(v1, k)
+    return v2, jnp.take_along_axis(idx1, i2, axis=1)
+
+
 def _border_mask(h: int, w: int, border: int, dtype) -> jax.Array:
     ys = jnp.arange(h)
     xs = jnp.arange(w)
@@ -67,7 +92,7 @@ def extract_keypoints(
     bordered = nms_scores * bm[None]
 
     flat = bordered.reshape(b, h * w)
-    vals, idx = lax.top_k(flat, max_keypoints)
+    vals, idx = _two_stage_top_k(flat, max_keypoints)
     # coordinates always f32: bf16 score maps would quantize pixel positions
     # (8-bit mantissa -> +-2px at x=640)
     ys = (idx // w).astype(jnp.float32)
