@@ -69,7 +69,7 @@ def main():
     k0 = jnp.zeros((batch, n_kpts, 2), jnp.float32)
     rec_vars = cast_tree(rec.init(jax.random.PRNGKey(1), d0, k0))
 
-    gml = GML(GMLConfig())
+    gml = GML(GMLConfig(use_pallas_sinkhorn=True))
     gvars = cast_tree(gml.init(
         jax.random.PRNGKey(2),
         jnp.zeros((1, 8, 128), jnp.float32),

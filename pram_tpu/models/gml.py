@@ -40,6 +40,7 @@ class GMLConfig:
     sinkhorn_iterations: int = 20
     match_threshold: float = 0.2
     with_sinkhorn: bool = True
+    use_pallas_sinkhorn: bool = False  # fused VMEM kernel (TPU only)
 
 
 class GML(nn.Module):
@@ -98,9 +99,16 @@ class GML(nn.Module):
         )
         dustbin = self.param("bin_score", nn.initializers.ones, ())
         if cfg.with_sinkhorn:
-            plan = sinkhorn_matching(
-                sim, dustbin, cfg.sinkhorn_iterations, mask0, mask1
-            )
+            if cfg.use_pallas_sinkhorn:
+                from pram_tpu.ops.sinkhorn_pallas import sinkhorn_matching_pallas
+
+                plan = sinkhorn_matching_pallas(
+                    sim, dustbin, cfg.sinkhorn_iterations, mask0, mask1
+                )
+            else:
+                plan = sinkhorn_matching(
+                    sim, dustbin, cfg.sinkhorn_iterations, mask0, mask1
+                )
         else:
             plan = dual_softmax_matching(sim, dustbin, mask0, mask1)
         return {"plan": plan, "mdesc0": md0, "mdesc1": md1}
