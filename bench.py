@@ -139,16 +139,20 @@ def main():
     images = jnp.asarray(rng.rand(batch, height, width, 3).astype(np.float32))
     key = jax.random.PRNGKey(0)
 
+    # single-dispatch pipeline: the relay-attached device pays ~30 ms per
+    # execute command, so front+localize fuse into one jit
+    @jax.jit
+    def pipeline(k, images):
+        return loc._step(k, camera, *front(images))
+
     # warmup / compile
-    f = front(images)
-    res = loc.localize_batch(key, camera, *f)
+    res = pipeline(key, images)
     jax.block_until_ready(res.qvec)
 
     iters = 8
     t0 = time.perf_counter()
     for i in range(iters):
-        f = front(images)
-        res = loc.localize_batch(jax.random.fold_in(key, i), camera, *f)
+        res = pipeline(jax.random.fold_in(key, i), images)
     jax.block_until_ready(res.qvec)
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
