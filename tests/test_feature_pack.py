@@ -93,3 +93,28 @@ def test_multithreaded_matches_single(tmp_path, rng, native_lib):
     b = pack.sample_batch(idx, 48, seed=9, n_threads=4)
     np.testing.assert_array_equal(a["keypoints"], b["keypoints"])
     np.testing.assert_array_equal(a["gt_seg"], b["gt_seg"])
+
+
+def test_pack_loader_multiscene(tmp_path, rng, native_lib):
+    from pram_tpu.data.pack_loader import PackLoader
+
+    spec1 = build_disk_scene(tmp_path, rng, name="pa", n_cluster=3)
+    spec2 = build_disk_scene(tmp_path, rng, name="pb", n_cluster=4)
+    ds1 = SceneDataset(spec1, nfeatures=32, train=True)
+    ds2 = SceneDataset(spec2, nfeatures=32, train=True)
+    p1 = FeaturePack.build(ds1)
+    p2 = FeaturePack.build(ds2)
+    loader = PackLoader([p1, p2], [3, 4], batch_size=4, nfeatures=32, seed=1)
+    assert loader.n_class == 8
+    batches = list(loader.epoch(0))
+    assert len(batches) == (len(ds1) + len(ds2)) // 4
+    seen = np.concatenate([b["gt_seg"].ravel() for b in batches])
+    # labels live in the global space [0, 8)
+    assert seen.min() >= 0 and seen.max() < 8
+    # scene A contributes labels 1..3 and scene B 4..7
+    assert set(np.unique(seen)) - {0} <= set(range(1, 8))
+    b0 = batches[0]
+    assert b0["norm_keypoints"].shape == (4, 32, 2)
+    # determinism across epochs with same seed
+    again = list(loader.epoch(0))
+    np.testing.assert_array_equal(b0["keypoints"], again[0]["keypoints"])
