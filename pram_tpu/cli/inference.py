@@ -107,13 +107,18 @@ def main(argv=None):
         dataset, batch_size=args.batch, train=False, drop_last=False
     )
 
+    from pram_tpu.core.profiling import StageTimer
+
+    timer = StageTimer()
+
     def batches():
         for b in loader.epoch(0):
-            logits = rec_apply(
-                jnp.asarray(b["descriptors"]),
-                jnp.asarray(b["norm_keypoints"]),
-                jnp.asarray(b["mask"]),
-            )
+            with timer.stage("rec"):
+                logits = rec_apply(
+                    jnp.asarray(b["descriptors"]),
+                    jnp.asarray(b["norm_keypoints"]),
+                    jnp.asarray(b["mask"]),
+                )
             gt_P = b.get("gt_P")
             yield {
                 "camera_params": b.get(
@@ -144,6 +149,7 @@ def main(argv=None):
 
     report = evaluate_queries(localizer, batches())
     print(report.summary())
+    print("stage times:", timer.summary())
 
 
 if __name__ == "__main__":
