@@ -257,3 +257,106 @@ class TorchSFD2(nn.Module):
         desc = self.convDb(self.convDa(out4))
         desc = F.normalize(desc, dim=1)
         return score, desc, out4
+
+
+class TorchSuperPoint(nn.Module):
+    """State-dict mirror of reference nets/superpoint.py:99-240."""
+
+    def __init__(self, descriptor_dim=256):
+        super().__init__()
+        c1, c2, c3, c4, c5 = 64, 64, 128, 128, 256
+        self.relu = nn.ReLU(inplace=True)
+        self.pool = nn.MaxPool2d(kernel_size=2, stride=2)
+        self.conv1a = nn.Conv2d(1, c1, 3, padding=1)
+        self.conv1b = nn.Conv2d(c1, c1, 3, padding=1)
+        self.conv2a = nn.Conv2d(c1, c2, 3, padding=1)
+        self.conv2b = nn.Conv2d(c2, c2, 3, padding=1)
+        self.conv3a = nn.Conv2d(c2, c3, 3, padding=1)
+        self.conv3b = nn.Conv2d(c3, c3, 3, padding=1)
+        self.conv4a = nn.Conv2d(c3, c4, 3, padding=1)
+        self.conv4b = nn.Conv2d(c4, c4, 3, padding=1)
+        self.convPa = nn.Conv2d(c4, c5, 3, padding=1)
+        self.convPb = nn.Conv2d(c5, 65, 1)
+        self.convDa = nn.Conv2d(c4, c5, 3, padding=1)
+        self.convDb = nn.Conv2d(c5, descriptor_dim, 1)
+
+    def forward(self, x):
+        x = self.relu(self.conv1a(x)); x = self.relu(self.conv1b(x)); x = self.pool(x)
+        x = self.relu(self.conv2a(x)); x = self.relu(self.conv2b(x)); x = self.pool(x)
+        x = self.relu(self.conv3a(x)); x = self.relu(self.conv3b(x)); x = self.pool(x)
+        x = self.relu(self.conv4a(x)); x3 = self.relu(self.conv4b(x))
+        cpa = self.relu(self.convPa(x3))
+        score = torch.softmax(self.convPb(cpa), 1)[:, :-1]
+        b, _, h, w = score.shape
+        score = score.permute(0, 2, 3, 1).reshape(b, h, w, 8, 8)
+        score = score.permute(0, 1, 3, 2, 4).reshape(b, h * 8, w * 8)
+        cda = self.relu(self.convDa(x3))
+        desc = F.normalize(self.convDb(cda), p=2, dim=1)
+        return score, desc, cda
+
+
+class PoolingLayerT(nn.Module):
+    """Mirror of nets/adagml.py:114-138."""
+
+    def __init__(self, hidden_dim, score_dim=2):
+        super().__init__()
+        self.score_enc = nn.Sequential(
+            nn.Linear(score_dim, hidden_dim),
+            nn.LayerNorm(hidden_dim),
+            nn.GELU(),
+            nn.Linear(hidden_dim, hidden_dim),
+        )
+        self.proj = nn.Linear(hidden_dim, hidden_dim)
+        self.predict = nn.Sequential(
+            nn.Linear(hidden_dim * 2, hidden_dim),
+            nn.LayerNorm(hidden_dim),
+            nn.GELU(),
+            nn.Linear(hidden_dim, 1),
+        )
+
+    def forward(self, x, score):
+        s = self.score_enc(score)
+        c = self.predict(torch.cat([self.proj(x), s], -1))
+        return torch.sigmoid(c)
+
+
+class TorchAdaGML(nn.Module):
+    """State-dict mirror of reference nets/adagml.py:232-404 (inference,
+    WITHOUT pruning: produces the full-plan path for converter validation)."""
+
+    def __init__(self, desc_dim=128, hidden=256, heads=4, n_layers=9,
+                 sinkhorn_iters=20):
+        super().__init__()
+        self.n_layers = n_layers
+        self.sinkhorn_iters = sinkhorn_iters
+        self.input_proj = nn.Linear(desc_dim, hidden)
+        self.self_attn = nn.ModuleList(
+            [SelfMHA(hidden, hidden, heads) for _ in range(n_layers)]
+        )
+        self.cross_attn = nn.ModuleList(
+            [CrossMHA(hidden, hidden, heads) for _ in range(n_layers)]
+        )
+        self.poseenc = FourierPE(2, hidden // heads)
+        self.out_proj = nn.ModuleList(
+            [nn.Linear(hidden, hidden) for _ in range(n_layers)]
+        )
+        self.register_parameter(
+            "bin_score", torch.nn.Parameter(torch.tensor(1.0))
+        )
+        self.pooling = nn.ModuleList(
+            [PoolingLayerT(hidden) for _ in range(n_layers)]
+        )
+
+    def forward(self, d0, d1, nk0, nk1):
+        x0 = self.input_proj(d0)
+        x1 = self.input_proj(d1)
+        e0, e1 = self.poseenc(nk0), self.poseenc(nk1)
+        for i in range(self.n_layers):
+            x0 = self.self_attn[i](x0, e0)
+            x1 = self.self_attn[i](x1, e1)
+            x0, x1 = self.cross_attn[i](x0, x1)
+        d = x0.shape[-1]
+        md0 = self.out_proj[self.n_layers - 1](x0) / d**0.25
+        md1 = self.out_proj[self.n_layers - 1](x1) / d**0.25
+        dist = torch.einsum("bmd,bnd->bmn", md0, md1)
+        return torch_sink(dist, self.bin_score, self.sinkhorn_iters)
