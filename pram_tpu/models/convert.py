@@ -168,6 +168,44 @@ def convert_segnetvit(sd: Dict[str, np.ndarray], n_layers: int = 15) -> Dict:
     return {"params": params}
 
 
+def _conv1d(sd, name):
+    """torch Conv1d [O, I, 1] -> Dense kernel [I, O]."""
+    p = {"kernel": np.ascontiguousarray(sd[f"{name}.weight"][:, :, 0].T)}
+    if f"{name}.bias" in sd:
+        p["bias"] = sd[f"{name}.bias"]
+    return p
+
+
+def _point_mlp(sd, prefix, n_convs):
+    """Reference MLP helper (Conv1d + InstanceNorm + act; nets/layers.py:15-35):
+    convs sit at Sequential indices 0, 3, 6, ...; InstanceNorm1d has no
+    parameters."""
+    return {
+        f"lin_{i}": _conv1d(sd, f"{prefix}.{3 * i}") for i in range(n_convs)
+    }
+
+
+def convert_segnet(sd: Dict[str, np.ndarray], n_layers: int = 9) -> Dict:
+    """Map the reference SegNet state_dict (nets/segnet.py:32-84) to flax."""
+    params: Dict[str, Any] = {
+        # kenc: channels [in]+[32,64,128,256]+[256] -> 5 convs
+        "kenc": _point_mlp(sd, "kenc.encoder", 5),
+        "seg": _point_mlp(sd, "seg", 2),
+    }
+    for i in range(n_layers):
+        p = f"gnn.layers.{i}"
+        params[f"gnn_{i}"] = {
+            "proj_q": _conv1d(sd, f"{p}.attn.proj.0"),
+            "proj_k": _conv1d(sd, f"{p}.attn.proj.1"),
+            "proj_v": _conv1d(sd, f"{p}.attn.proj.2"),
+            "merge": _conv1d(sd, f"{p}.attn.merge"),
+            "mlp": _point_mlp(sd, f"{p}.mlp", 2),
+        }
+    if "sc.0.weight" in sd:
+        params["sc"] = _point_mlp(sd, "sc", 2)
+    return {"params": params}
+
+
 def convert_gml(sd: Dict[str, np.ndarray], n_layers: int = 9) -> Dict:
     """Map the reference GML state_dict (nets/gml.py:211-240)."""
     params: Dict[str, Any] = {

@@ -103,17 +103,21 @@ class AttentionalPropagation(nn.Module):
         h = self.num_heads
         hd = d // h
 
-        q = nn.Dense(d, name="proj_q")(x).reshape(b, n, h, hd)
-        k = nn.Dense(d, name="proj_k")(source).reshape(b, -1, h, hd)
-        v = nn.Dense(d, name="proj_v")(source).reshape(b, -1, h, hd)
+        # the reference's head split is channel-strided: head = c % num_heads
+        # (nets/layers.py:57 views [B, D, N] as [B, dim, heads, N]), so the
+        # per-head slice is the TRAILING axis of a [hd, h] reshape — kept to
+        # stay weight-compatible with SegNet/GM checkpoints
+        q = nn.Dense(d, name="proj_q")(x).reshape(b, n, hd, h)
+        k = nn.Dense(d, name="proj_k")(source).reshape(b, -1, hd, h)
+        v = nn.Dense(d, name="proj_v")(source).reshape(b, -1, hd, h)
         logits = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+            "bnkh,bmkh->bhnm", q, k, preferred_element_type=jnp.float32
         ) / (hd**0.5)
         attn = masked_softmax(
             logits, None if mask is None else mask[:, None, None, :]
         ).astype(v.dtype)
         msg = jnp.einsum(
-            "bhnm,bmhd->bnhd", attn, v, preferred_element_type=jnp.float32
+            "bhnm,bmkh->bnkh", attn, v, preferred_element_type=jnp.float32
         ).astype(x.dtype)
         msg = msg.reshape(b, n, d)
         msg = nn.Dense(d, name="merge")(msg)

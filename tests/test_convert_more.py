@@ -71,3 +71,27 @@ def test_adagml_converter_parity_no_pruning(rng):
     # nothing pruned with adaptive=False
     assert np.asarray(out["mask0"]).all()
     assert np.asarray(out["mask1"]).all()
+
+
+def test_segnet_parity(rng):
+    """SegNet GNN variant: converted weights reproduce the torch forward,
+    incl. the reference's strided-channel attention head split."""
+    from tests.torch_mirrors import TorchSegNet
+
+    from pram_tpu.models.convert import convert_segnet
+    from pram_tpu.models.segnet import SegNet, SegNetConfig
+
+    torch.manual_seed(8)
+    n_layers, n_class = 2, 9
+    tmodel = TorchSegNet(n_class=n_class, n_layers=n_layers).eval()
+    desc = rng.randn(1, 40, 256).astype(np.float32)
+    nk = (rng.rand(1, 40, 2) * 2 - 1).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(desc), torch.from_numpy(nk)).numpy()
+
+    model = SegNet(SegNetConfig(n_layers=n_layers, n_class=n_class))
+    variables = convert_segnet(state_dict_np(tmodel), n_layers=n_layers)
+    out = model.apply(variables, jnp.asarray(desc), jnp.asarray(nk))
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), ref, atol=5e-4, rtol=1e-3
+    )

@@ -360,3 +360,89 @@ class TorchAdaGML(nn.Module):
         md1 = self.out_proj[self.n_layers - 1](x1) / d**0.25
         dist = torch.einsum("bmd,bnd->bmn", md0, md1)
         return torch_sink(dist, self.bin_score, self.sinkhorn_iters)
+
+
+def _mlp1d(channels, norm_fn="in", ac_fn="relu"):
+    """Reference MLP helper mirror (nets/layers.py:15-35)."""
+    n = len(channels)
+    layers = []
+    for i in range(1, n):
+        layers.append(nn.Conv1d(channels[i - 1], channels[i], 1, bias=True))
+        if i < n - 1:
+            if norm_fn == "in":
+                layers.append(nn.InstanceNorm1d(channels[i], eps=1e-3))
+            if ac_fn == "relu":
+                layers.append(nn.ReLU())
+    return nn.Sequential(*layers)
+
+
+class MHA1d(nn.Module):
+    """Mirror of nets/layers.py:38-77 (strided-channel head split)."""
+
+    def __init__(self, num_heads, d_model):
+        super().__init__()
+        self.dim = d_model // num_heads
+        self.num_heads = num_heads
+        self.merge = nn.Conv1d(d_model, d_model, 1)
+        import copy
+
+        self.proj = nn.ModuleList(
+            [copy.deepcopy(self.merge) for _ in range(3)]
+        )
+
+    def forward(self, query, key, value):
+        b = query.size(0)
+        q, k, v = [
+            l(x).view(b, self.dim, self.num_heads, -1)
+            for l, x in zip(self.proj, (query, key, value))
+        ]
+        scores = torch.einsum("bdhn,bdhm->bhnm", q, k) / self.dim**0.5
+        prob = F.softmax(scores, dim=-1)
+        x = torch.einsum("bhnm,bdhm->bdhn", prob, v)
+        return self.merge(x.contiguous().view(b, self.dim * self.num_heads, -1))
+
+
+class AttnProp1d(nn.Module):
+    """Mirror of nets/layers.py:80-92."""
+
+    def __init__(self, feature_dim, num_heads):
+        super().__init__()
+        self.attn = MHA1d(num_heads, feature_dim)
+        self.mlp = _mlp1d([feature_dim * 2, feature_dim * 2, feature_dim])
+
+    def forward(self, x, source):
+        msg = self.attn(x, source, source)
+        return self.mlp(torch.cat([x, msg], dim=1))
+
+
+class TorchSegNet(nn.Module):
+    """State-dict mirror of reference nets/segnet.py:32-120 (GNN variant)."""
+
+    def __init__(self, desc_dim=256, n_class=17, n_layers=3,
+                 keypoint_encoder=(32, 64, 128, 256), out_dim=1024):
+        super().__init__()
+
+        class GNN(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.layers = nn.ModuleList(
+                    [AttnProp1d(desc_dim, 4) for _ in range(n_layers)]
+                )
+
+        self.gnn = GNN()
+
+        class KEnc(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.encoder = _mlp1d([2] + list(keypoint_encoder) + [desc_dim])
+
+        self.kenc = KEnc()
+        self.seg = _mlp1d([desc_dim, out_dim, n_class])
+
+    def forward(self, desc_bnd, norm_kpts):
+        desc = desc_bnd.transpose(1, 2)  # [B, D, N]
+        enc = self.kenc.encoder(norm_kpts.transpose(1, 2))
+        x = desc + enc
+        for layer in self.gnn.layers:
+            x = x + layer(x, x)
+        return self.seg(x).transpose(1, 2)  # [B, N, C]
