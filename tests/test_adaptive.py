@@ -83,3 +83,47 @@ def test_adaptive_falls_back_on_bad_top1(rng):
         jnp.asarray(q["qvec"], jnp.float32), jnp.asarray(q["tvec"]),
     )
     assert float(qe) < 5.0 and float(te) < 0.05
+
+
+def test_adaptive_mixed_batch_merges_per_frame(rng):
+    """One easy frame + one frame needing phase 2: merged results must keep
+    the phase-1 pose for the easy frame and fix the hard one."""
+    scene = make_synthetic_scene(rng, n_cluster=4, points_per_cluster=150,
+                                 n_ref_frames=6, desc_dim=64)
+    dmap = to_device(scene.map)
+    cfg = LocConfig(seg_k=4, min_inliers=16, min_kpts=32, threshold=5.0,
+                    num_hypotheses=128)
+    loc = Localizer(dmap, make_nn_match_fn(), cfg)
+    n_class = scene.map.n_class
+
+    easy = scene.render_query(rng, noise_px=0.3)
+    hard = scene.render_query(rng, noise_px=0.3)
+    logits_easy = perfect_logits(easy["gt_seg"], n_class, easy["mask"])
+    logits_hard = perfect_logits(hard["gt_seg"], n_class, hard["mask"])
+    # corrupt hard's rank-1 to a wrong landmark (gt stays rank 2)
+    wrong = (np.asarray(hard["gt_seg"]) + 2) % 4
+    logits_hard[:, :] -= 1.0
+    rows = np.arange(len(logits_hard))
+    logits_hard[rows, wrong + 1] = 30.0
+
+    kpts = jnp.asarray(np.stack([easy["keypoints"], hard["keypoints"]]))
+    descs = jnp.asarray(np.stack([easy["descriptors"], hard["descriptors"]]))
+    scores = jnp.asarray(np.stack([easy["scores"], hard["scores"]]))
+    mask = jnp.asarray(np.stack([easy["mask"], hard["mask"]]))
+    logits = jnp.asarray(np.stack([logits_easy, logits_hard]))
+    cam = Camera(
+        jnp.broadcast_to(
+            jnp.asarray([500.0, 500.0, 320.0, 240.0, 0, 0, 0, 0]), (2, 8)
+        ),
+        jnp.broadcast_to(jnp.asarray([640.0, 480.0]), (2, 2)),
+    )
+    res = loc.localize_batch_adaptive(
+        jax.random.PRNGKey(3), cam, kpts, scores, descs, mask, logits
+    )
+    for i, q in enumerate([easy, hard]):
+        assert bool(res.success[i]), f"frame {i} failed"
+        qe, te = compute_pose_error(
+            res.qvec[i], res.tvec[i],
+            jnp.asarray(q["qvec"], jnp.float32), jnp.asarray(q["tvec"]),
+        )
+        assert float(qe) < 5.0 and float(te) < 0.05, f"frame {i}"
