@@ -95,3 +95,57 @@ def test_segnet_parity(rng):
     np.testing.assert_allclose(
         np.asarray(out["prediction"]), ref, atol=5e-4, rtol=1e-3
     )
+
+
+def test_gm_wiring_parity(rng):
+    """GM (the working version of the reference's intended architecture)
+    reproduces a torch mirror's transport plan after weight conversion."""
+    from tests.torch_mirrors import TorchGM
+
+    from pram_tpu.models.convert import _conv1d, _point_mlp
+    from pram_tpu.models.gm import GM, GMConfig
+
+    torch.manual_seed(11)
+    n_layers = 2
+    tmodel = TorchGM(n_layers=n_layers).eval()
+    sd = state_dict_np(tmodel)
+
+    params = {
+        "kenc": _point_mlp(sd, "kenc.encoder", 5),  # channels [3,32,64,128,256,128]
+        "bin_score": sd["bin_score"],
+    }
+    for i in range(2 * n_layers):
+        p = f"gnn.layers.{i}"
+        params[f"gnn_{i}"] = {
+            "proj_q": _conv1d(sd, f"{p}.attn.proj.0"),
+            "proj_k": _conv1d(sd, f"{p}.attn.proj.1"),
+            "proj_v": _conv1d(sd, f"{p}.attn.proj.2"),
+            "merge": _conv1d(sd, f"{p}.attn.merge"),
+            "mlp": _point_mlp(sd, f"{p}.mlp", 2),
+        }
+    for i in range(n_layers):
+        params[f"final_proj_{i}"] = _conv1d(sd, f"final_proj.{i}")
+    variables = {"params": params}
+
+    d0 = rng.randn(1, 20, 128).astype(np.float32)
+    d1 = rng.randn(1, 28, 128).astype(np.float32)
+    nk0 = (rng.rand(1, 20, 2) * 2 - 1).astype(np.float32)
+    nk1 = (rng.rand(1, 28, 2) * 2 - 1).astype(np.float32)
+    s0 = rng.rand(1, 20).astype(np.float32)
+    s1 = rng.rand(1, 28).astype(np.float32)
+    with torch.no_grad():
+        ref_plan = tmodel(
+            torch.from_numpy(d0), torch.from_numpy(d1),
+            torch.from_numpy(nk0), torch.from_numpy(nk1),
+            torch.from_numpy(s0), torch.from_numpy(s1),
+        ).numpy()
+
+    model = GM(GMConfig(n_layers=n_layers))
+    out = model.apply(
+        variables,
+        jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(nk0), jnp.asarray(nk1),
+        jnp.asarray(s0), jnp.asarray(s1),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["plan"]), ref_plan, atol=5e-4, rtol=1e-3
+    )

@@ -446,3 +446,63 @@ class TorchSegNet(nn.Module):
         for layer in self.gnn.layers:
             x = x + layer(x, x)
         return self.seg(x).transpose(1, 2)  # [B, N, C]
+
+
+class TorchGM(nn.Module):
+    """Mirror of the *intended* GM architecture (nets/gm.py:93-263 with the
+    hidden_dim constructor bug fixed): desc + kpt-MLP encoding, alternating
+    self/cross AttentionalPropagation (one shared layer per step applied to
+    both sides), last final_proj, Sinkhorn."""
+
+    def __init__(self, desc_dim=128, n_layers=2, sinkhorn_iters=20,
+                 keypoint_encoder=(32, 64, 128, 256)):
+        super().__init__()
+        self.n_layers = n_layers
+        self.sinkhorn_iters = sinkhorn_iters
+
+        class KEnc(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.encoder = _mlp1d(
+                    [3] + list(keypoint_encoder) + [desc_dim]
+                )
+
+        self.kenc = KEnc()
+
+        class GNN(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.layers = nn.ModuleList(
+                    [AttnProp1d(desc_dim, 4) for _ in range(2 * n_layers)]
+                )
+
+        self.gnn = GNN()
+        self.final_proj = nn.ModuleList(
+            [nn.Conv1d(desc_dim, desc_dim, 1, bias=True)
+             for _ in range(n_layers)]
+        )
+        self.register_parameter(
+            "bin_score", torch.nn.Parameter(torch.tensor(1.0))
+        )
+
+    def forward(self, d0, d1, nk0, nk1, s0, s1):
+        x0 = d0.transpose(1, 2) + self.kenc.encoder(
+            torch.cat([nk0.transpose(1, 2), s0.unsqueeze(1)], dim=1)
+        )
+        x1 = d1.transpose(1, 2) + self.kenc.encoder(
+            torch.cat([nk1.transpose(1, 2), s1.unsqueeze(1)], dim=1)
+        )
+        names = ["self", "cross"] * self.n_layers
+        for layer, name in zip(self.gnn.layers, names):
+            if name == "cross":
+                src0, src1 = x1, x0
+            else:
+                src0, src1 = x0, x1
+            delta0 = layer(x0, src0)
+            delta1 = layer(x1, src1)
+            x0, x1 = x0 + delta0, x1 + delta1
+        md0 = self.final_proj[self.n_layers - 1](x0)
+        md1 = self.final_proj[self.n_layers - 1](x1)
+        d = md0.shape[1]
+        dist = torch.einsum("bdn,bdm->bnm", md0, md1) / d**0.5
+        return torch_sink(dist, self.bin_score, self.sinkhorn_iters)
