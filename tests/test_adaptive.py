@@ -127,3 +127,39 @@ def test_adaptive_mixed_batch_merges_per_frame(rng):
             jnp.asarray(q["qvec"], jnp.float32), jnp.asarray(q["tvec"]),
         )
         assert float(qe) < 5.0 and float(te) < 0.05, f"frame {i}"
+
+
+def test_bf16_pipeline_still_localizes(rng):
+    """The mixed-precision split (bf16 descriptors/maps, f32 coords/Sinkhorn/
+    PnP) must preserve localization accuracy on the synthetic scene."""
+    from pram_tpu.utils.precision import cast_variables
+
+    scene = make_synthetic_scene(rng, n_cluster=4, points_per_cluster=150,
+                                 n_ref_frames=6, desc_dim=64)
+    dmap = to_device(scene.map)
+    dmap = dmap._replace(point_desc=dmap.point_desc.astype(jnp.bfloat16))
+    cfg = LocConfig(seg_k=4, min_inliers=16, min_kpts=32, threshold=5.0,
+                    num_hypotheses=128)
+    loc = Localizer(dmap, make_nn_match_fn(), cfg)
+    n_class = scene.map.n_class
+
+    q = scene.render_query(rng, noise_px=0.3)
+    logits = perfect_logits(q["gt_seg"], n_class, q["mask"])
+    cam = Camera(
+        jnp.asarray([[500.0, 500.0, 320.0, 240.0, 0, 0, 0, 0]], jnp.float32),
+        jnp.asarray([[640.0, 480.0]], jnp.float32),
+    )
+    res = loc.localize_batch(
+        jax.random.PRNGKey(5), cam,
+        jnp.asarray(q["keypoints"][None]),  # coords stay f32
+        jnp.asarray(q["scores"][None]),
+        jnp.asarray(q["descriptors"][None]).astype(jnp.bfloat16),
+        jnp.asarray(q["mask"][None]),
+        jnp.asarray(logits[None]),
+    )
+    assert bool(res.success[0])
+    qe, te = compute_pose_error(
+        res.qvec[0], res.tvec[0],
+        jnp.asarray(q["qvec"], jnp.float32), jnp.asarray(q["tvec"]),
+    )
+    assert float(qe) < 5.0 and float(te) < 0.05
