@@ -333,3 +333,136 @@ class AdaGML(nn.Module):
 def extract_matches(plan: jax.Array, threshold: float = 0.2) -> MatchResult:
     """Mutual-max readout; pruned tokens carry no plan mass, so they can't match."""
     return mutual_matches(plan, threshold)
+
+
+# ---------------------------------------------------------------------------
+# Online early-exit formulation
+# ---------------------------------------------------------------------------
+
+
+def stack_adagml_layers(variables, n_layers: int = 9):
+    """Re-layout per-layer AdaGML params into leading-[n_layers] stacks.
+
+    Enables the lax.while_loop early-exit apply (adagml_online_apply): the
+    loop indexes one layer's params with a dynamic slice instead of unrolling
+    all layers.
+    """
+    p = variables["params"]
+
+    def stack(prefix):
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[p[f"{prefix}_{i}"] for i in range(n_layers)],
+        )
+
+    return {
+        "input_proj": p["input_proj"],
+        "poseenc": p["poseenc"],
+        "bin_score": p["bin_score"],
+        "self_attn": stack("self_attn"),
+        "cross_attn": stack("cross_attn"),
+        "pooling": stack("pooling"),
+        "out_proj": stack("out_proj"),
+    }
+
+
+def adagml_online_apply(
+    stacked,
+    desc0: jax.Array,  # [1, N, D]
+    desc1: jax.Array,  # [1, M, D]
+    norm_kpts0: jax.Array,
+    norm_kpts1: jax.Array,
+    mask0: Optional[jax.Array] = None,
+    mask1: Optional[jax.Array] = None,
+    cfg: AdaGMLConfig = AdaGMLConfig(),
+) -> dict:
+    """Latency-oriented AdaGML: truly SKIPS layers after the stop condition.
+
+    The batched module (AdaGML.__call__) evaluates all layers and freezes
+    descriptors at the stop point — right for throughput batches. For online
+    single-frame streams (the reference's inference.py --online path) this
+    variant runs a lax.while_loop over stacked layer parameters and exits as
+    soon as >=stop_ratio of the tokens are confident (nets/adagml.py:522-531),
+    saving the remaining layers' compute. Produces the same plan as the
+    batched module for the same inputs (tested).
+    """
+    from flax.core import freeze
+
+    b, n0, _ = desc0.shape
+    n1 = desc1.shape[1]
+    head_dim = cfg.hidden_dim // cfg.num_heads
+    if mask0 is None:
+        mask0 = jnp.ones((b, n0), bool)
+    if mask1 is None:
+        mask1 = jnp.ones((b, n1), bool)
+    orig_total = (
+        jnp.sum(mask0.astype(jnp.float32)) + jnp.sum(mask1.astype(jnp.float32))
+    )
+
+    dense = nn.Dense(cfg.hidden_dim)
+    x0 = dense.apply({"params": stacked["input_proj"]}, desc0)
+    x1 = dense.apply({"params": stacked["input_proj"]}, desc1)
+    pe = LearnableFourierPE(f_dim=head_dim)
+    enc0 = pe.apply({"params": stacked["poseenc"]}, norm_kpts0)
+    enc1 = pe.apply({"params": stacked["poseenc"]}, norm_kpts1)
+
+    sa = _SelfAttnStats(cfg.hidden_dim, cfg.hidden_dim, cfg.num_heads)
+    ca = _CrossAttnStats(cfg.hidden_dim, cfg.hidden_dim, cfg.num_heads)
+    pool = PoolingLayer(cfg.hidden_dim)
+
+    thresholds = jnp.asarray(
+        [confidence_threshold(i, cfg.n_layers) for i in range(cfg.n_layers)],
+        jnp.float32,
+    )
+
+    def layer_step(carry):
+        x0, x1, m0, m1, ni, stopped = carry
+        sl = lambda t: jax.tree_util.tree_map(lambda a: a[ni], t)
+        p_sa = sl(stacked["self_attn"])
+        p_ca = sl(stacked["cross_attn"])
+        p_po = sl(stacked["pooling"])
+        nx0, s00 = sa.apply({"params": p_sa}, x0, enc0, m0)
+        nx1, s11 = sa.apply({"params": p_sa}, x1, enc1, m1)
+        nx0, nx1, s01, s10 = ca.apply({"params": p_ca}, nx0, nx1, m0, m1)
+        conf0 = pool.apply({"params": p_po}, nx0, jnp.stack([s00, s01], -1))
+        conf1 = pool.apply({"params": p_po}, nx1, jnp.stack([s11, s10], -1))
+
+        th = thresholds[ni]
+        do_prune = ni >= 1
+        cnt0 = jnp.sum(m0.astype(jnp.int32))
+        cnt1 = jnp.sum(m1.astype(jnp.int32))
+        m0n = jnp.where(
+            do_prune & (cnt0 >= cfg.n_min_tokens), m0 & (conf0 > th), m0
+        )
+        m1n = jnp.where(
+            do_prune & (cnt1 >= cfg.n_min_tokens), m1 & (conf1 > th), m1
+        )
+        confident = jnp.sum(((conf0 > th) & m0n).astype(jnp.float32)) + jnp.sum(
+            ((conf1 > th) & m1n).astype(jnp.float32)
+        )
+        now_stop = do_prune & (
+            (confident / jnp.maximum(orig_total, 1.0)) > cfg.stop_ratio
+        )
+        return (nx0, nx1, m0n, m1n, ni + 1, now_stop)
+
+    def cond(carry):
+        *_, ni, stopped = carry
+        return (ni < cfg.n_layers) & ~stopped
+
+    x0f, x1f, m0f, m1f, ni_f, _ = jax.lax.while_loop(
+        cond, layer_step, (x0, x1, mask0, mask1, jnp.asarray(0), jnp.asarray(False))
+    )
+    stop_layer = jnp.clip(ni_f - 1, 0, cfg.n_layers - 1)
+
+    d = x0f.shape[-1]
+    op = nn.Dense(cfg.hidden_dim)
+    p_op = jax.tree_util.tree_map(lambda a: a[stop_layer], stacked["out_proj"])
+    md0 = op.apply({"params": p_op}, x0f) / d**0.25
+    md1 = op.apply({"params": p_op}, x1f) / d**0.25
+    sim = jnp.einsum(
+        "bnd,bmd->bnm", md0, md1, preferred_element_type=jnp.float32
+    )
+    plan = sinkhorn_matching(
+        sim, stacked["bin_score"], cfg.sinkhorn_iterations, m0f, m1f
+    )
+    return {"plan": plan, "mask0": m0f, "mask1": m1f, "stop_layer": stop_layer}
