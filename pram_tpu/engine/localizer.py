@@ -518,6 +518,8 @@ class Localizer:
 
             return jax.jit(step)
 
+        self._make_step = make_step
+        self._step_matching = None
         self._step = make_step(cfg)
         import dataclasses as _dc
 
@@ -541,6 +543,33 @@ class Localizer:
     ) -> LocResult:
         """Localize a batch: camera ``[B, ...]``, arrays ``[B, N, ...]``."""
         return self._step(key, camera, kpts, scores, descs, mask, seg_logits)
+
+    def localize_batch_auto_refine(
+        self, key, camera: Camera, kpts, scores, descs, mask, seg_logits,
+        trust_inliers: int = 64,
+    ) -> LocResult:
+        """Auto refinement dispatch (multimap3d.py:251-255): trust the
+        projection-based refinement only when the initial localization found
+        >= trust_inliers inliers; frames below that rerun with the
+        matching-based refinement (one extra compiled step, built lazily) and
+        merge per frame."""
+        import dataclasses as _dc
+
+        import numpy as np
+
+        r1 = self._step(key, camera, kpts, scores, descs, mask, seg_logits)
+        trusted = np.asarray(r1.initial_num_inliers) >= trust_inliers
+        if bool(np.all(trusted)) or self.cfg.refinement_method == "matching":
+            return r1
+        if self._step_matching is None:
+            mcfg = _dc.replace(self.cfg, refinement_method="matching")
+            self._step_matching = self._make_step(mcfg)
+        r2 = self._step_matching(
+            jax.random.fold_in(key, 2), camera, kpts, scores, descs, mask,
+            seg_logits,
+        )
+        ok = jnp.asarray(trusted)
+        return LocResult(*self._merge(ok, r1, r2))
 
     def localize_batch_adaptive(
         self, key, camera: Camera, kpts, scores, descs, mask, seg_logits

@@ -163,3 +163,45 @@ def test_bf16_pipeline_still_localizes(rng):
         jnp.asarray(q["qvec"], jnp.float32), jnp.asarray(q["tvec"]),
     )
     assert float(qe) < 5.0 and float(te) < 0.05
+
+
+def test_auto_refine_dispatch(rng):
+    """Auto refinement (multimap3d.py:251-255): trusted frames keep the
+    projection result; low-inlier frames rerun with matching refinement."""
+    scene = make_synthetic_scene(rng, n_cluster=4, points_per_cluster=150,
+                                 n_ref_frames=6, desc_dim=64)
+    dmap = to_device(scene.map)
+    cfg = LocConfig(seg_k=4, min_inliers=16, min_kpts=32, threshold=5.0,
+                    num_hypotheses=128, covisibility_frame=4)
+    loc = Localizer(dmap, make_nn_match_fn(), cfg)
+    n_class = scene.map.n_class
+    q = scene.render_query(rng, noise_px=0.3)
+    logits = perfect_logits(q["gt_seg"], n_class, q["mask"])
+    cam = Camera(
+        jnp.asarray([[500.0, 500.0, 320.0, 240.0, 0, 0, 0, 0]], jnp.float32),
+        jnp.asarray([[640.0, 480.0]], jnp.float32),
+    )
+    args = (
+        jnp.asarray(q["keypoints"][None]), jnp.asarray(q["scores"][None]),
+        jnp.asarray(q["descriptors"][None]), jnp.asarray(q["mask"][None]),
+        jnp.asarray(logits[None]),
+    )
+    # high trust threshold -> forces the matching-refinement rerun path
+    res = loc.localize_batch_auto_refine(
+        jax.random.PRNGKey(4), cam, *args, trust_inliers=10**6
+    )
+    assert loc._step_matching is not None  # matching step was built
+    assert bool(res.success[0])
+    qe, te = compute_pose_error(
+        res.qvec[0], res.tvec[0],
+        jnp.asarray(q["qvec"], jnp.float32), jnp.asarray(q["tvec"]),
+    )
+    assert float(qe) < 5.0 and float(te) < 0.05
+
+    # low threshold -> trusted, no matching step needed
+    loc2 = Localizer(dmap, make_nn_match_fn(), cfg)
+    res2 = loc2.localize_batch_auto_refine(
+        jax.random.PRNGKey(4), cam, *args, trust_inliers=1
+    )
+    assert loc2._step_matching is None
+    assert bool(res2.success[0])
