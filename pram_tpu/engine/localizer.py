@@ -500,10 +500,21 @@ class Localizer:
     single-iteration candidate loop.
     """
 
-    def __init__(self, dmap: DeviceMap, match_fn: MatchFn, cfg: LocConfig):
+    def __init__(
+        self,
+        dmap: DeviceMap,
+        match_fn: MatchFn,
+        cfg: LocConfig,
+        mesh=None,
+    ):
+        """With a mesh, the query batch shards over the 'data' axis and the
+        map replicates — inference scales across chips exactly like the
+        training step (XLA partitions the whole compiled program; no
+        per-scene host loop)."""
         self.dmap = dmap
         self.match_fn = match_fn
         self.cfg = cfg
+        self.mesh = mesh
 
         def make_step(step_cfg: LocConfig):
             def step(key, camera, kpts, scores, descs, mask, seg_logits):
@@ -516,7 +527,18 @@ class Localizer:
                 )(keys, camera.params, camera.size, kpts, scores, descs,
                   mask, seg_logits)
 
-            return jax.jit(step)
+            if mesh is None:
+                return jax.jit(step)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            cam_sh = Camera(data, data)
+            return jax.jit(
+                step,
+                in_shardings=(repl, cam_sh, data, data, data, data, data),
+                out_shardings=LocResult(*([data] * len(LocResult._fields))),
+            )
 
         self._make_step = make_step
         self._step_matching = None
