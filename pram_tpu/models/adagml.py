@@ -285,18 +285,21 @@ class AdaGML(nn.Module):
                 cnt1 = jnp.sum(mask1.astype(jnp.int32), -1)
                 prune0 = (cnt0 >= cfg.n_min_tokens) & ~stopped
                 prune1 = (cnt1 >= cfg.n_min_tokens) & ~stopped
+                # the stop check evaluates over the token set at layer ENTRY
+                # (nets/adagml.py:527-531: conf is pre-pruning): tokens pruned
+                # in earlier layers are absent from `confidences` there and so
+                # count as implicitly confident — pos = 1 - below/(m+n).
+                below = jnp.sum(
+                    ((conf0 < th) & mask0).astype(jnp.float32), -1
+                ) + jnp.sum(((conf1 < th) & mask1).astype(jnp.float32), -1)
                 mask0 = jnp.where(
                     prune0[:, None], mask0 & (conf0 > th), mask0
                 )
                 mask1 = jnp.where(
                     prune1[:, None], mask1 & (conf1 > th), mask1
                 )
-                # stop check uses the *original* token total as denominator
-                # (nets/adagml.py:370,529: num_points = m + n at entry)
-                confident = jnp.sum(
-                    ((conf0 > th) & mask0).astype(jnp.float32), -1
-                ) + jnp.sum(((conf1 > th) & mask1).astype(jnp.float32), -1)
-                now_stop = (confident / jnp.maximum(orig_total, 1.0)) > cfg.stop_ratio
+                pos = 1.0 - below / jnp.maximum(orig_total, 1.0)
+                now_stop = pos > cfg.stop_ratio
                 stop_layer = jnp.where(~stopped & now_stop, ni, stop_layer)
                 stopped = stopped | now_stop
 
@@ -431,18 +434,20 @@ def adagml_online_apply(
         do_prune = ni >= 1
         cnt0 = jnp.sum(m0.astype(jnp.int32))
         cnt1 = jnp.sum(m1.astype(jnp.int32))
+        # stop check over the layer-ENTRY token set: earlier-pruned tokens
+        # are absent from the reference's `confidences` (nets/adagml.py:527)
+        # and count as implicitly confident — pos = 1 - below/(m+n).
+        below = jnp.sum(((conf0 < th) & m0).astype(jnp.float32)) + jnp.sum(
+            ((conf1 < th) & m1).astype(jnp.float32)
+        )
         m0n = jnp.where(
             do_prune & (cnt0 >= cfg.n_min_tokens), m0 & (conf0 > th), m0
         )
         m1n = jnp.where(
             do_prune & (cnt1 >= cfg.n_min_tokens), m1 & (conf1 > th), m1
         )
-        confident = jnp.sum(((conf0 > th) & m0n).astype(jnp.float32)) + jnp.sum(
-            ((conf1 > th) & m1n).astype(jnp.float32)
-        )
-        now_stop = do_prune & (
-            (confident / jnp.maximum(orig_total, 1.0)) > cfg.stop_ratio
-        )
+        pos = 1.0 - below / jnp.maximum(orig_total, 1.0)
+        now_stop = do_prune & (pos > cfg.stop_ratio)
         return (nx0, nx1, m0n, m1n, ni + 1, now_stop)
 
     def cond(carry):

@@ -177,33 +177,63 @@ def _conv1d(sd, name):
 
 
 def _point_mlp(sd, prefix, n_convs):
-    """Reference MLP helper (Conv1d + InstanceNorm + act; nets/layers.py:15-35):
+    """Reference MLP helper (Conv1d + norm + act; nets/layers.py:15-35):
     convs sit at Sequential indices 0, 3, 6, ...; InstanceNorm1d has no
-    parameters."""
-    return {
+    parameters, BatchNorm1d (norm_fn='bn') contributes affine params and
+    running stats at indices 1, 4, ...
+
+    Returns (params, batch_stats); batch_stats is {} for the 'in' case.
+    """
+    params = {
         f"lin_{i}": _conv1d(sd, f"{prefix}.{3 * i}") for i in range(n_convs)
     }
+    stats = {}
+    for i in range(n_convs - 1):
+        bn = f"{prefix}.{3 * i + 1}"
+        if f"{bn}.running_mean" in sd:
+            params[f"norm_{i}"] = {
+                "scale": sd[f"{bn}.weight"],
+                "bias": sd[f"{bn}.bias"],
+            }
+            stats[f"norm_{i}"] = {
+                "mean": sd[f"{bn}.running_mean"],
+                "var": sd[f"{bn}.running_var"],
+            }
+    return params, stats
 
 
 def convert_segnet(sd: Dict[str, np.ndarray], n_layers: int = 9) -> Dict:
     """Map the reference SegNet state_dict (nets/segnet.py:32-84) to flax."""
-    params: Dict[str, Any] = {
-        # kenc: channels [in]+[32,64,128,256]+[256] -> 5 convs
-        "kenc": _point_mlp(sd, "kenc.encoder", 5),
-        "seg": _point_mlp(sd, "seg", 2),
-    }
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(name, pair):
+        p, s = pair
+        params[name] = p
+        if s:
+            stats[name] = s
+
+    # kenc: channels [in]+[32,64,128,256]+[256] -> 5 convs
+    put("kenc", _point_mlp(sd, "kenc.encoder", 5))
+    put("seg", _point_mlp(sd, "seg", 2))
     for i in range(n_layers):
         p = f"gnn.layers.{i}"
+        mlp_p, mlp_s = _point_mlp(sd, f"{p}.mlp", 2)
         params[f"gnn_{i}"] = {
             "proj_q": _conv1d(sd, f"{p}.attn.proj.0"),
             "proj_k": _conv1d(sd, f"{p}.attn.proj.1"),
             "proj_v": _conv1d(sd, f"{p}.attn.proj.2"),
             "merge": _conv1d(sd, f"{p}.attn.merge"),
-            "mlp": _point_mlp(sd, f"{p}.mlp", 2),
+            "mlp": mlp_p,
         }
+        if mlp_s:
+            stats[f"gnn_{i}"] = {"mlp": mlp_s}
     if "sc.0.weight" in sd:
-        params["sc"] = _point_mlp(sd, "sc", 2)
-    return {"params": params}
+        put("sc", _point_mlp(sd, "sc", 2))
+    out: Dict[str, Any] = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
 
 
 def convert_gml(sd: Dict[str, np.ndarray], n_layers: int = 9) -> Dict:

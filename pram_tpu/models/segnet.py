@@ -55,6 +55,7 @@ class PointMLP(nn.Module):
     channels: Sequence[int]
     ac_fn: str = "relu"
     norm_fn: str = "in"
+    train: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None):
@@ -65,11 +66,15 @@ class PointMLP(nn.Module):
                 if self.norm_fn == "in":
                     x = TokenInstanceNorm(name=f"norm_{i}")(x, mask)
                 elif self.norm_fn == "bn":
-                    # Batch norm over (B, N); at inference this uses running
-                    # stats — modeled here as LayerNorm-free passthrough of
-                    # stored scale/bias via GroupNorm(1) equivalent is wrong;
-                    # instead keep instance-norm stats over tokens+batch.
-                    x = TokenInstanceNorm(name=f"norm_{i}")(x, mask)
+                    # torch nn.BatchNorm1d(C, eps=1e-3) on [B, C, N]
+                    # (nets/layers.py:26): per-channel stats over (B, N);
+                    # eval uses running stats + affine.
+                    x = nn.BatchNorm(
+                        use_running_average=not self.train,
+                        epsilon=1e-3,
+                        momentum=0.9,
+                        name=f"norm_{i}",
+                    )(x)
                 if self.ac_fn == "relu":
                     x = nn.relu(x)
                 elif self.ac_fn == "gelu":

@@ -111,7 +111,7 @@ def test_gm_wiring_parity(rng):
     sd = state_dict_np(tmodel)
 
     params = {
-        "kenc": _point_mlp(sd, "kenc.encoder", 5),  # channels [3,32,64,128,256,128]
+        "kenc": _point_mlp(sd, "kenc.encoder", 5)[0],  # channels [3,32,64,128,256,128]
         "bin_score": sd["bin_score"],
     }
     for i in range(2 * n_layers):
@@ -121,7 +121,7 @@ def test_gm_wiring_parity(rng):
             "proj_k": _conv1d(sd, f"{p}.attn.proj.1"),
             "proj_v": _conv1d(sd, f"{p}.attn.proj.2"),
             "merge": _conv1d(sd, f"{p}.attn.merge"),
-            "mlp": _point_mlp(sd, f"{p}.mlp", 2),
+            "mlp": _point_mlp(sd, f"{p}.mlp", 2)[0],
         }
     for i in range(n_layers):
         params[f"final_proj_{i}"] = _conv1d(sd, f"final_proj.{i}")
