@@ -138,6 +138,36 @@ def build_extractor(conf: Dict, weight_path: Optional[str] = None):
     raise ValueError(f"unknown extractor {name}")
 
 
+def build_compressor(feat_dim: int, weight_path: Optional[str] = None):
+    """Optional 128->64/32-d descriptor compression (reference main.py:50-63).
+
+    Returns a callable descs [N, 128] -> [N, feat_dim], or None when
+    feat_dim == 128 (the uncompressed default).
+    """
+    if feat_dim == 128:
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from pram_tpu.models.sfd2 import DescriptorCompressor
+
+    comp = DescriptorCompressor(outdim=feat_dim)
+    if weight_path:
+        from pram_tpu.models.convert import (
+            convert_descriptor_compressor,
+            load_torch_state_dict,
+        )
+
+        variables = jax.tree_util.tree_map(
+            np.asarray,
+            convert_descriptor_compressor(load_torch_state_dict(weight_path)),
+        )
+    else:
+        variables = comp.init(jax.random.PRNGKey(0), jnp.zeros((1, 128)))
+    fn = jax.jit(lambda d: comp.apply(variables, d))
+    return fn
+
+
 def extract_to_h5(
     image_dir: str,
     export_fn: str,
@@ -145,6 +175,8 @@ def extract_to_h5(
     weight_path: Optional[str] = None,
     image_list: Optional[str] = None,
     resize_max: Optional[int] = None,
+    feat_dim: int = 128,
+    compressor_weight_path: Optional[str] = None,
 ):
     import h5py
     import jax.numpy as jnp
@@ -153,6 +185,7 @@ def extract_to_h5(
     model, variables, extract_fn, preprocess = build_extractor(
         conf, weight_path
     )
+    compressor = build_compressor(feat_dim, compressor_weight_path)
     names = list_images(image_dir, image_list)
     os.makedirs(osp.dirname(osp.abspath(export_fn)), exist_ok=True)
 
@@ -182,6 +215,8 @@ def extract_to_h5(
             kpts = np.asarray(kps.xy[0])[mask] / scale  # scale back
             scores = np.asarray(kps.scores[0])[mask]
             descs = np.asarray(feats["descriptors"][0])[mask]
+            if compressor is not None:
+                descs = np.asarray(compressor(jnp.asarray(descs)))
             g = out.create_group(name)
             g.create_dataset("keypoints", data=kpts.astype(np.float32))
             g.create_dataset("scores", data=scores.astype(np.float32))
@@ -199,6 +234,11 @@ def main():
     ap.add_argument("--weight_path", default=None)
     ap.add_argument("--image_list", default=None)
     ap.add_argument("--resize_max", type=int, default=None)
+    ap.add_argument(
+        "--feat_dim", type=int, default=128,
+        help="64/32 compress descriptors through DescriptorCompressor",
+    )
+    ap.add_argument("--compressor_weight_path", default=None)
     args = ap.parse_args()
     extract_to_h5(
         args.image_dir,
@@ -207,6 +247,8 @@ def main():
         args.weight_path,
         args.image_list,
         args.resize_max,
+        args.feat_dim,
+        args.compressor_weight_path,
     )
 
 

@@ -267,3 +267,9 @@ def convert_adagml(sd: Dict[str, np.ndarray], n_layers: int = 9) -> Dict:
             "predict_3": _linear(sd, f"{p}.predict.3"),
         }
     return out
+
+
+def convert_descriptor_compressor(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map the reference DescriptorCompressor state_dict (nets/sfd2.py:357-365):
+    a single 1x1 Conv1d 'conv' with bias."""
+    return {"params": {"conv": _conv1d(sd, "conv")}}

@@ -275,3 +275,21 @@ def extract(
         "desc_map": out["desc_map"],
         "mid_features": out["mid_features"],
     }
+
+
+class DescriptorCompressor(nn.Module):
+    """Compress 128-d SFD2 descriptors to 64/32-d and re-normalize.
+
+    Reference: nets/sfd2.py:357-383 (1x1 Conv1d over [B, C, N] + L2 norm);
+    wired via config['feat_dim'] in main.py:50-63. Here tokens are
+    channel-last, so the 1x1 conv is a Dense over the last axis.
+    """
+
+    outdim: int = 64
+
+    @nn.compact
+    def __call__(self, descs: jax.Array) -> jax.Array:
+        # descs: [..., N, C_in] -> [..., N, outdim], unit-norm rows
+        out = nn.Dense(self.outdim, name="conv")(descs)
+        norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+        return out / jnp.maximum(norm, 1e-12)

@@ -97,3 +97,21 @@ def test_extract_then_match_pipeline(tmp_path, rng):
     )
     m, s = get_matches(matches_fn, names[0], names[1])
     assert m.ndim == 2 and m.shape[1] == 2
+
+
+def test_extract_features_feat_dim_64(tmp_path, rng):
+    """--feat_dim 64 routes descriptors through DescriptorCompressor
+    (reference main.py:50-63): h5 carries unit-norm 64-d descriptors."""
+    from pram_tpu.cli.extract_features import extract_to_h5
+
+    img_dir, names = make_images(tmp_path, rng)
+    out = str(tmp_path / "feats64.h5")
+    extract_to_h5(img_dir, out, conf_name="sfd2", feat_dim=64)
+    with h5py.File(out, "r") as f:
+        g = f[names[0]]
+        desc = g["descriptors"][()]
+        assert desc.shape[0] == 64  # hloc [D, N] layout
+        if desc.shape[1]:
+            np.testing.assert_allclose(
+                np.linalg.norm(desc, axis=0), 1.0, atol=1e-4
+            )

@@ -297,3 +297,23 @@ def test_sfd2_reference_extract_parity(ref_nets, rng):
     np.testing.assert_allclose(
         d_my[order_my], d_ref[order_ref], atol=2e-3
     )
+
+
+def test_descriptor_compressor_reference_parity(ref_nets, rng):
+    """DescriptorCompressor (nets/sfd2.py:357-383): 1x1 Conv1d + L2 norm,
+    128 -> 64, converted through convert_descriptor_compressor."""
+    from pram_tpu.models.convert import convert_descriptor_compressor
+    from pram_tpu.models.sfd2 import DescriptorCompressor
+
+    torch.manual_seed(16)
+    tmodel = ref_nets.sfd2.DescriptorCompressor(128, 64).eval()
+    x = rng.randn(1, 128, 50).astype(np.float32)  # torch layout [B, C, N]
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()  # [B, 64, N]
+
+    comp = DescriptorCompressor(outdim=64)
+    variables = convert_descriptor_compressor(state_dict_np(tmodel))
+    out = comp.apply(variables, jnp.asarray(x.transpose(0, 2, 1)))  # [B, N, 64]
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 2, 1), ref, atol=1e-5
+    )
