@@ -52,6 +52,7 @@ class SceneSpec:
     gt_pose_file: Optional[str] = None  # queries_poses.txt (eval)
     n_class: int = 0  # n_cluster + 1 (incl. background 0)
     image_prefix: str = ""
+    image_dir: Optional[str] = None  # raw images (augmented training only)
 
 
 def read_gt_poses(path: str) -> Dict[str, Dict[str, np.ndarray]]:
@@ -78,9 +79,21 @@ class SceneDataset:
         min_inliers: int = 0,
         max_inliers: int = 4096,
         sample_ratio: float = 1.0,
+        with_image: bool = False,
+        scale_params: Optional[tuple] = None,
     ):
+        """with_image loads the raw image per train item (the reference's
+        with_aug path, basicdataset.py:277-306) for in-step re-extraction
+        through the frozen SFD2 (train/augmented.py). scale_params (lo, hi),
+        e.g. (0.5, 1.0): with prob 0.25 the image is downscaled (keypoints
+        rescaled) then zero-padded back to the fixed original size — the
+        static-shape formulation of the reference's resize augmentation.
+        Brightness/contrast jitter happens on device inside the train step
+        (the reference's cv2.addWeighted path, basicdataset.py:299-302)."""
         self.spec = spec
         self.train = train
+        self.with_image = with_image
+        self.scale_params = scale_params
         self.nfeatures = nfeatures
         self.min_inliers = min_inliers
         self.max_inliers = min(max_inliers, nfeatures)
@@ -240,6 +253,25 @@ class SceneDataset:
 
         gt_cls, gt_n_seg, gt_cls_dist = self._gt_stats(sel_seg, seg_ids)
 
+        img = None
+        if self.with_image:
+            img = self._read_image(img_name)
+            h0, w0 = img.shape[:2]
+            if self.scale_params is not None and rng.random() <= 0.25:
+                # basicdataset.py:286-297: pick one of 11 scales in
+                # [lo, hi], resize, rescale keypoints; here the image is
+                # zero-padded back to (h0, w0) so batch shapes stay static
+                import cv2
+
+                lo, hi = self.scale_params
+                s = lo + (hi - lo) / 10 * rng.randint(0, 11)
+                nh, nw = int(h0 * s), int(w0 * s)
+                sel_kpts = sel_kpts * [nw / w0, nh / h0]
+                small = cv2.resize(img, dsize=(nw, nh))
+                img = np.zeros((h0, w0, 3), np.float32)
+                img[:nh, :nw] = small
+                image_size = np.array([nh, nw])
+
         im = self.images[image_id]
         cam = self.cameras[im.camera_id]
         from pram_tpu.maps.packed import _qvec2rotmat_np, pack_camera_params
@@ -266,7 +298,19 @@ class SceneDataset:
         }
         if sel_desc is not None:
             out["seg_descriptors"] = sel_desc
+        if img is not None:
+            out["image"] = img
         return out
+
+    def _read_image(self, img_name: str) -> np.ndarray:
+        """RGB float32 [0, 1] (basicdataset.py:277-282, 418-419)."""
+        import cv2
+
+        fn = osp.join(self.spec.image_dir, img_name)
+        img = cv2.imread(fn)
+        if img is None:
+            raise FileNotFoundError(fn)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
     def get_test_item(self, idx: int) -> Dict:
         """Eval item: top-nfeatures keypoints by score, descriptors included

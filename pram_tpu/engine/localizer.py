@@ -234,7 +234,9 @@ def localize_frame(
         enough_kpts = (
             jnp.sum(kpt_masks.astype(jnp.int32), axis=-1) >= cfg.min_kpts
         )
-        use_sem = consistent & enough_kpts & (sids > 0)
+        # sids are map segment ids (class-1, multimap3d.py:119 "sid = sid - 1")
+        # so 0 is a real landmark; only -1 (invalid candidate) is excluded
+        use_sem = consistent & enough_kpts & (sids >= 0)
         q_mask_c = jnp.where(use_sem[:, None], kpt_masks & mask[None], mask[None])
         ref_mask_c = jnp.where(
             use_sem[:, None],

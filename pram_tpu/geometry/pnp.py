@@ -511,6 +511,33 @@ def ransac_pnp(
         lo_round, (R_best, t_best), None, length=lo_rounds
     )
 
+    # polish: graduated threshold shrink (full -> 1/2 -> 1/4, floored at
+    # 2px), re-fitting on each round's inliers. Correspondences that are
+    # merely inside the loose gate scatter; the true consensus has sub-pixel
+    # residuals, so each shrink drops more contaminants and the fit walks
+    # back onto the true pose — the fixed-shape analogue of pycolmap's
+    # converged LM refinement of its final inlier set (the reference's
+    # refinement_options at singlemap3d.py:454-460).
+    # acceptance is judged at the round's OWN (tighter) threshold: a pose
+    # dragged by loose-gate contaminants keeps slightly more loose inliers
+    # than the true pose (it splits the difference), so a loose-count gate
+    # would lock the drag in; the tight count strictly prefers the true
+    # consensus (sub-pixel residuals).
+    for s in (1.0, 0.5, 0.25):
+        th_r = jnp.maximum(inlier_threshold * s, 2.0)
+        cnt_r, inl_r = _count_inliers(
+            camera, R_best, t_best, xyz, uv, mask, th_r
+        )
+        Rp, tp = gauss_newton_pose(
+            camera, R_best, t_best, xyz, uv, inl_r.astype(uv.dtype),
+            num_iters=gn_iters,
+            huber_delta=jnp.maximum(th_r / 2.0, 1.0),
+        )
+        cnt_new, _ = _count_inliers(camera, Rp, tp, xyz, uv, mask, th_r)
+        ok_polish = (cnt_r >= min_inliers) & (cnt_new >= cnt_r)
+        R_best = jnp.where(ok_polish, Rp, R_best)
+        t_best = jnp.where(ok_polish, tp, t_best)
+
     num_inl, inliers = _count_inliers(
         camera, R_best, t_best, xyz, uv, mask, inlier_threshold
     )

@@ -64,6 +64,32 @@ def _border_mask(h: int, w: int, border: int, dtype) -> jax.Array:
     return (my[:, None] & mx[None, :]).astype(dtype)
 
 
+def _nms_block_reduce(bordered: jax.Array, block: int = 4):
+    """Reduce an NMS'd map to per-block (max, flat argmax) candidates.
+
+    After ``simple_nms(radius>=block)`` two surviving maxima are more than
+    ``block`` pixels apart (each would otherwise sit inside the other's
+    suppression window), so a ``block x block`` cell holds at most one
+    survivor — the block max loses nothing. Exact-score ties within a block
+    are the only exception (the reference keeps both, we keep one).
+    Shrinks the top-k candidate set by block^2 (307k -> 19k at 480x640).
+    """
+    b, h, w = bordered.shape
+    hb, wb = h // block, w // block
+    r = bordered.reshape(b, hb, block, wb, block)
+    r = jnp.transpose(r, (0, 1, 3, 2, 4)).reshape(b, hb * wb, block * block)
+    bmax = jnp.max(r, axis=-1)
+    barg = jnp.argmax(r, axis=-1).astype(jnp.int32)
+    # flat index into the original [H, W]
+    cell = jnp.arange(hb * wb, dtype=jnp.int32)
+    by = cell // wb
+    bx = cell % wb
+    dy = barg // block
+    dx = barg % block
+    flat_idx = (by[None] * block + dy) * w + (bx[None] * block + dx)
+    return bmax, flat_idx
+
+
 def extract_keypoints(
     nms_scores: jax.Array,
     *,
@@ -71,6 +97,7 @@ def extract_keypoints(
     conf_th: float = 0.005,
     border: int = 4,
     min_keypoints: int = 128,
+    nms_radius: int = 4,
 ) -> Keypoints:
     """Select up to ``max_keypoints`` top maxima above an adaptive threshold.
 
@@ -91,8 +118,18 @@ def extract_keypoints(
     bm = _border_mask(h, w, border, nms_scores.dtype)
     bordered = nms_scores * bm[None]
 
-    flat = bordered.reshape(b, h * w)
-    vals, idx = _two_stage_top_k(flat, max_keypoints)
+    block = 4
+    if nms_radius >= block and h % block == 0 and w % block == 0:
+        cand, cand_idx = _nms_block_reduce(bordered, block)
+        pad = max(0, max_keypoints - cand.shape[1])
+        if pad:  # tiny images: fewer blocks than requested keypoints
+            cand = jnp.pad(cand, ((0, 0), (0, pad)))
+            cand_idx = jnp.pad(cand_idx, ((0, 0), (0, pad)))
+        vals, sel = _two_stage_top_k(cand, max_keypoints)
+        idx = jnp.take_along_axis(cand_idx, sel, axis=1)
+    else:
+        flat = bordered.reshape(b, h * w)
+        vals, idx = _two_stage_top_k(flat, max_keypoints)
     # coordinates always f32: bf16 score maps would quantize pixel positions
     # (8-bit mantissa -> +-2px at x=640)
     ys = (idx // w).astype(jnp.float32)
