@@ -68,6 +68,24 @@ class LearnableFourierPE(nn.Module):
         return cos, sin
 
 
+def use_fused_attention() -> bool:
+    """Fused Pallas attention is the default on TPU backends.
+
+    The XLA einsum path materializes [B, H, N, M] f32 logits between the two
+    attention matmuls; the fused kernels (ops/attention_pallas.py) keep them
+    in VMEM. Both paths are element-wise equivalent (tests/test_attention_
+    pallas.py).
+    """
+    return jax.default_backend() == "tpu"
+
+
+def mask_to_bias(mask: Optional[jax.Array], b: int, n: int) -> jax.Array:
+    """Bool validity mask -> f32 additive attention bias (0 / -1e9)."""
+    if mask is None:
+        return jnp.zeros((b, n), jnp.float32)
+    return jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+
+
 def masked_softmax(
     logits: jax.Array, mask: Optional[jax.Array], axis: int = -1
 ) -> jax.Array:
@@ -81,12 +99,36 @@ def masked_softmax(
     return jax.nn.softmax(logits, axis=axis)
 
 
+class _DenseParams(nn.Module):
+    """Bare Dense parameters with nn.Dense's init and naming (the fused
+    attention path applies them with permuted columns)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class SelfAttentionBlock(nn.Module):
     """Self-attention block with rotary encoding and concat-MLP residual.
 
     Reference: nets/segnetvit.py:79-106 / nets/gml.py:110-140. The fused qkv
     projection keeps the torch layout ``[..., heads, head_dim, 3]`` so
     converted weights slice identically.
+
+    On TPU the whole attention op (head split, rotary, masked softmax, head
+    merge) runs as one Pallas kernel on a packed qkv tensor
+    (ops/attention_pallas.py): the projection's output columns are permuted
+    instead of reshaping/transposing the activation, and rotary runs in
+    bf16 inside VMEM — the XLA path materializes f32 [B,H,N,M] logits and
+    promotes the QK matmul to f32 through the rotary multiply.
     """
 
     feat_dim: int
@@ -103,25 +145,45 @@ class SelfAttentionBlock(nn.Module):
         b, n, _ = x.shape
         h = self.num_heads
         hd = self.hidden_dim // h
-
-        qkv = nn.Dense(self.hidden_dim * 3, name="qkv")(x)
-        qkv = qkv.reshape(b, n, h, hd, 3)
-        qkv = jnp.moveaxis(qkv, 2, 1)  # [B, H, N, hd, 3]
-        q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
-        if encoding is not None:
-            q = apply_rotary(encoding, q)
-            k = apply_rotary(encoding, k)
-
         scale = hd**-0.5
-        logits = jnp.einsum(
-            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        key_mask = None if mask is None else mask[:, None, None, :]
-        attn = masked_softmax(logits, key_mask).astype(v.dtype)
-        msg = jnp.einsum(
-            "bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-        msg = jnp.moveaxis(msg, 1, 2).reshape(b, n, self.hidden_dim)
+
+        if use_fused_attention():
+            from pram_tpu.ops.attention_pallas import (
+                fused_self_attention_qkv,
+                permute_qkv_kernel,
+            )
+
+            kernel, kbias = _DenseParams(
+                self.hidden_dim * 3, name="qkv"
+            )(x.shape[-1])
+            wp, bp = permute_qkv_kernel(kernel, kbias, h, hd)
+            qkv = (x @ wp.astype(x.dtype)) + bp.astype(x.dtype)
+            if encoding is not None:
+                cos, sin = encoding  # [B, 1, N, hd]
+                cos, sin = cos[:, 0], sin[:, 0]
+            else:
+                cos = sin = None
+            msg = fused_self_attention_qkv(
+                qkv, cos, sin, mask_to_bias(mask, b, n), scale, h
+            ).astype(x.dtype)
+        else:
+            qkv = nn.Dense(self.hidden_dim * 3, name="qkv")(x)
+            qkv = qkv.reshape(b, n, h, hd, 3)
+            qkv = jnp.moveaxis(qkv, 2, 1)  # [B, H, N, hd, 3]
+            q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+            if encoding is not None:
+                q = apply_rotary(encoding, q)
+                k = apply_rotary(encoding, k)
+
+            logits = jnp.einsum(
+                "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            key_mask = None if mask is None else mask[:, None, None, :]
+            attn = masked_softmax(logits, key_mask).astype(v.dtype)
+            msg = jnp.einsum(
+                "bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+            msg = jnp.moveaxis(msg, 1, 2).reshape(b, n, self.hidden_dim)
         msg = nn.Dense(self.hidden_dim, name="proj")(msg)
 
         y = jnp.concatenate([x, msg], axis=-1)
@@ -164,35 +226,56 @@ class CrossAttentionBlock(nn.Module):
         mlp_ln = nn.LayerNorm(name="mlp_ln")
         mlp_3 = nn.Dense(self.feat_dim, name="mlp_3")
 
-        def split_heads(t, n):
-            return jnp.moveaxis(t.reshape(b, n, h, hd), 2, 1)
+        if use_fused_attention():
+            from pram_tpu.ops.attention_pallas import (
+                fused_cross_attention_packed,
+            )
 
-        qk0 = split_heads(to_qk(x0), n0) * scale**0.5
-        qk1 = split_heads(to_qk(x1), n1) * scale**0.5
-        v0 = split_heads(to_v(x0), n0)
-        v1 = split_heads(to_v(x1), n1)
+            m0, m1 = fused_cross_attention_packed(
+                to_qk(x0), to_qk(x1), to_v(x0), to_v(x1),
+                mask_to_bias(mask0, b, n0), mask_to_bias(mask1, b, n1),
+                scale, h,
+            )
+            m0 = m0.astype(x0.dtype)
+            m1 = m1.astype(x1.dtype)
+        else:
+            def split_heads(t, n):
+                return jnp.moveaxis(t.reshape(b, n, h, hd), 2, 1)
 
-        sim = jnp.einsum(
-            "bhid,bhjd->bhij", qk0, qk1, preferred_element_type=jnp.float32
-        )
-        attn01 = masked_softmax(
-            sim, None if mask1 is None else mask1[:, None, None, :], axis=-1
-        ).astype(v1.dtype)
-        attn10 = masked_softmax(
-            sim, None if mask0 is None else mask0[:, None, :, None], axis=-2
-        ).astype(v0.dtype)
-        m0 = jnp.einsum(
-            "bhij,bhjd->bhid", attn01, v1, preferred_element_type=jnp.float32
-        ).astype(x0.dtype)
-        m1 = jnp.einsum(
-            "bhij,bhid->bhjd", attn10, v0, preferred_element_type=jnp.float32
-        ).astype(x1.dtype)
+            qk0 = split_heads(to_qk(x0), n0) * scale**0.5
+            qk1 = split_heads(to_qk(x1), n1) * scale**0.5
+            v0 = split_heads(to_v(x0), n0)
+            v1 = split_heads(to_v(x1), n1)
 
-        def merge(t, n):
-            return jnp.moveaxis(t, 1, 2).reshape(b, n, self.hidden_dim)
+            sim = jnp.einsum(
+                "bhid,bhjd->bhij", qk0, qk1,
+                preferred_element_type=jnp.float32,
+            )
+            attn01 = masked_softmax(
+                sim, None if mask1 is None else mask1[:, None, None, :],
+                axis=-1,
+            ).astype(v1.dtype)
+            attn10 = masked_softmax(
+                sim, None if mask0 is None else mask0[:, None, :, None],
+                axis=-2,
+            ).astype(v0.dtype)
+            m0 = jnp.einsum(
+                "bhij,bhjd->bhid", attn01, v1,
+                preferred_element_type=jnp.float32,
+            ).astype(x0.dtype)
+            m1 = jnp.einsum(
+                "bhij,bhid->bhjd", attn10, v0,
+                preferred_element_type=jnp.float32,
+            ).astype(x1.dtype)
 
-        m0 = proj(merge(m0, n0))
-        m1 = proj(merge(m1, n1))
+            def merge(t, n):
+                return jnp.moveaxis(t, 1, 2).reshape(b, n, self.hidden_dim)
+
+            m0 = merge(m0, n0)
+            m1 = merge(m1, n1)
+
+        m0 = proj(m0)
+        m1 = proj(m1)
 
         def mlp(x, m):
             y = jnp.concatenate([x, m], axis=-1)

@@ -114,6 +114,47 @@ def _conv3x3_s2d(x: jax.Array, kernel: jax.Array, bias: jax.Array):
     return y + bias
 
 
+class _BNParams(nn.Module):
+    """Bare BatchNorm parameters/stats with nn.BatchNorm's naming.
+
+    Used by the fused Pallas stem path: the parameters live in the same
+    ``<name>/bn/{scale,bias}`` + ``batch_stats/<name>/bn/{mean,var}`` slots
+    as ConvBNReLU's nn.BatchNorm, so checkpoints and converters are
+    path-agnostic.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None,
+            (self.features,),
+        )
+        var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None,
+            (self.features,),
+        )
+        return scale, bias, mean.value, var.value
+
+
+class _ConvBNParams(nn.Module):
+    """Parameter container matching ConvBNReLU's tree (conv + bn)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel, bias = _Conv3x3Params(
+            self.in_features, self.features, name="conv"
+        )()
+        bn = _BNParams(self.features, name="bn")()
+        return kernel, bias, bn
+
+
 class ConvBNReLU(nn.Module):
     """3x3 conv + BN + ReLU (reference ``conv`` helper, nets/sfd2.py:78-91)."""
 
@@ -249,6 +290,18 @@ class ResNet4x(nn.Module):
 
     inputdim: int = 3
     outdim: int = 128
+    # fused Pallas stem (conv1a+conv1b in one kernel, ops/stem_pallas.py):
+    # None = auto (on for TPU backends when shapes allow), True/False force.
+    use_pallas_stem: Optional[bool] = None
+
+    def _stem_enabled(self, image: jax.Array) -> bool:
+        h, w = image.shape[1], image.shape[2]
+        shapes_ok = (
+            image.shape[-1] == 3 and h % 16 == 0 and w % 2 == 0
+        )
+        if self.use_pallas_stem is not None:
+            return self.use_pallas_stem and shapes_ok
+        return shapes_ok and jax.default_backend() == "tpu"
 
     @nn.compact
     def __call__(self, image: jax.Array) -> dict:
@@ -267,8 +320,15 @@ class ResNet4x(nn.Module):
         # NOTE: s2d=True was measured SLOWER end-to-end (41 vs 16 ms/b32) —
         # the full-res space-to-depth relayouts cost more than the padded
         # conv FLOPs they save; keep the direct conv.
-        out1a = ConvBNReLU(d1, name="conv1a")(image)
-        out1b = ConvBNReLU(d1, stride=2, name="conv1b")(out1a)
+        if self._stem_enabled(image):
+            from pram_tpu.ops.stem_pallas import fused_stem
+
+            k1, c1, bn1 = _ConvBNParams(3, d1, name="conv1a")()
+            k2, c2, bn2 = _ConvBNParams(d1, d1, name="conv1b")()
+            out1b = fused_stem(image, k1, c1, bn1, k2, c2, bn2)
+        else:
+            out1a = ConvBNReLU(d1, name="conv1a")(image)
+            out1b = ConvBNReLU(d1, stride=2, name="conv1b")(out1a)
         out2a = ConvBNReLU(d2, name="conv2a")(out1b)
         out2b = ConvBNReLU(d2, stride=2, name="conv2b")(out2a)
         out3a = ConvBNReLU(d3, name="conv3a")(out2b)
