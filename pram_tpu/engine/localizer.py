@@ -169,26 +169,68 @@ class LocResult(NamedTuple):
 MatchFn = Callable[..., jax.Array]
 
 
-def localize_frame(
-    key: jax.Array,
-    dmap: DeviceMap,
-    match_fn: MatchFn,
-    camera: Camera,
-    kpts: jax.Array,  # [N, 2]
-    scores: jax.Array,  # [N]
-    descs: jax.Array,  # [N, D]
-    mask: jax.Array,  # [N]
-    seg_logits: jax.Array,  # [N, C]
-    cfg: LocConfig,
-) -> LocResult:
-    """Full relocalization of one query frame (vmap over a batch).
+class VrfTables(NamedTuple):
+    """Gathered per-candidate VRF keypoint tables (``[..., K, *]``).
 
-    ``match_fn(desc0, nk0, sc0, m0, desc1, nk1, sc1, m1) -> matches0 [b, N]``
-    wraps the matcher (GML/AdaGML/GM/NN) over a candidate batch.
+    Produced either by plain indexing into a replicated DeviceMap
+    (:func:`gather_vrf_tables`) or by a distributed gather over a sharded map
+    (maps/sharded.py) — the localization core is agnostic.
     """
-    n, _ = kpts.shape
-    n_class = seg_logits.shape[-1]
-    n_seg = dmap.seg_vrf_slot.shape[0]
+
+    pt_idx: jax.Array  # [..., K] int32 (-1 invalid)
+    uv: jax.Array  # [..., K, 2]
+    score: jax.Array  # [..., K]
+    mask: jax.Array  # [..., K] bool
+    xyz: jax.Array  # [..., K, 3]
+    desc: jax.Array  # [..., K, D]
+    sids: jax.Array  # [..., K] int32 (-1 invalid)
+    w: jax.Array  # [...]
+    h: jax.Array  # [...]
+
+
+class RefineSet(NamedTuple):
+    """Gathered covisible-point set for projection refinement (``[Pr, *]``)."""
+
+    pt_idx: jax.Array  # [..., Pr] int32 (-1 invalid)
+    xyz: jax.Array  # [..., Pr, 3]
+    desc: jax.Array  # [..., Pr, D]
+
+
+class CoreResult(NamedTuple):
+    """Pre-refinement localization state (steps 1-6 of localize_frame)."""
+
+    R0: jax.Array
+    t0: jax.Array
+    inl0: jax.Array
+    any_ok: jax.Array
+    pick: jax.Array
+    picked_slot: jax.Array
+    picked_sid: jax.Array
+    kpt_point_idx: jax.Array  # [N]
+    kpt_xyz: jax.Array  # [N, 3]
+
+
+class RankResult(NamedTuple):
+    """Candidate routing state (steps 1-2)."""
+
+    mask: jax.Array  # [N] post-prefilter keypoint validity
+    q_sids: jax.Array  # [N]
+    sids: jax.Array  # [seg_k]
+    kpt_masks: jax.Array  # [seg_k, N]
+    cand_valid: jax.Array  # [seg_k]
+    safe_slots: jax.Array  # [seg_k]
+    frames: jax.Array  # [seg_k]
+
+
+def rank_candidates(
+    seg_vrf_slot: jax.Array,  # [S] replicated routing table
+    vrf_frame_idx: jax.Array,  # [V] replicated
+    seg_logits: jax.Array,  # [N, C]
+    mask: jax.Array,  # [N]
+    cfg: LocConfig,
+) -> RankResult:
+    """Steps 1-2: background pre-filter + candidate landmark ranking."""
+    n_seg = seg_vrf_slot.shape[0]
 
     # -- 1. background pre-filter (frame.py:96-122): mask, never drop
     if cfg.pre_filtering_th > 0:
@@ -206,45 +248,84 @@ def localize_frame(
         seg_logits, mask, seg_k=cfg.seg_k, n_rank=cfg.n_rank
     )
     slots = jnp.where(
-        sids >= 0, dmap.seg_vrf_slot[jnp.clip(sids, 0, n_seg - 1)], -1
+        sids >= 0, seg_vrf_slot[jnp.clip(sids, 0, n_seg - 1)], -1
     )
     cand_valid = cand_valid & (slots >= 0)
-    safe_slots = jnp.clip(slots, 0, dmap.vrf_frame_idx.shape[0] - 1)
-    frames = dmap.vrf_frame_idx[safe_slots]  # [seg_k]
+    safe_slots = jnp.clip(slots, 0, vrf_frame_idx.shape[0] - 1)
+    frames = vrf_frame_idx[safe_slots]  # [seg_k]
+    return RankResult(
+        mask, q_sids, sids, kpt_masks, cand_valid, safe_slots, frames
+    )
 
-    # -- gather VRF keypoint tables [seg_k, K, ...]
-    ref_pt_idx = dmap.frame_point_idx[frames]  # [seg_k, K]
-    ref_uv = dmap.frame_kp_uv[frames]
-    ref_score = dmap.frame_kp_score[frames]
-    ref_mask = dmap.frame_kp_mask[frames] & cand_valid[:, None]
+
+def gather_vrf_tables(dmap: DeviceMap, frames: jax.Array) -> VrfTables:
+    """Plain-indexing VRF table gather (replicated map). frames ``[...]``."""
+    ref_pt_idx = dmap.frame_point_idx[frames]  # [..., K]
     safe_pt = jnp.clip(ref_pt_idx, 0, dmap.point_xyz.shape[0] - 1)
-    ref_xyz = dmap.point_xyz[safe_pt]  # [seg_k, K, 3]
-    ref_desc = dmap.point_desc[safe_pt]  # [seg_k, K, D]
-    ref_sids_tab = jnp.where(
-        ref_pt_idx >= 0, dmap.point_seg[safe_pt], -1
-    )  # [seg_k, K]
-    ref_w = dmap.frame_size[frames][:, 0]
-    ref_h = dmap.frame_size[frames][:, 1]
+    return VrfTables(
+        pt_idx=ref_pt_idx,
+        uv=dmap.frame_kp_uv[frames],
+        score=dmap.frame_kp_score[frames],
+        mask=dmap.frame_kp_mask[frames],
+        xyz=dmap.point_xyz[safe_pt],
+        desc=dmap.point_desc[safe_pt],
+        sids=jnp.where(ref_pt_idx >= 0, dmap.point_seg[safe_pt], -1),
+        w=dmap.frame_size[frames][..., 0],
+        h=dmap.frame_size[frames][..., 1],
+    )
+
+
+def gather_refine_set(dmap: DeviceMap, slot: jax.Array) -> RefineSet:
+    """Plain-indexing projection-refinement point set for a VRF slot."""
+    pt_idx = dmap.vrf_ref_point_idx[slot]  # [..., Pr]
+    safe = jnp.clip(pt_idx, 0, dmap.point_xyz.shape[0] - 1)
+    return RefineSet(
+        pt_idx=pt_idx,
+        xyz=dmap.point_xyz[safe],
+        desc=dmap.point_desc[safe],
+    )
+
+
+def match_pnp_core(
+    key: jax.Array,
+    match_fn: MatchFn,
+    camera: Camera,
+    kpts: jax.Array,  # [N, 2]
+    scores: jax.Array,  # [N]
+    descs: jax.Array,  # [N, D]
+    rank: RankResult,
+    tabs: VrfTables,  # [seg_k, K, ...]
+    n_seg: int,
+    cfg: LocConfig,
+) -> CoreResult:
+    """Steps 3-6: semantic gate, batched matching, batched PnP, selection."""
+    n = kpts.shape[0]
+    mask = rank.mask
+    ref_mask = tabs.mask & rank.cand_valid[:, None]
 
     # -- 3. semantic matching gate per candidate
     if cfg.semantic_matching:
         consistent = jax.vmap(
-            lambda rs, rm: _semantic_consistency(q_sids, mask, rs, rm, n_seg)
-        )(ref_sids_tab, ref_mask)
+            lambda rs, rm: _semantic_consistency(
+                rank.q_sids, mask, rs, rm, n_seg
+            )
+        )(tabs.sids, ref_mask)
         enough_kpts = (
-            jnp.sum(kpt_masks.astype(jnp.int32), axis=-1) >= cfg.min_kpts
+            jnp.sum(rank.kpt_masks.astype(jnp.int32), axis=-1) >= cfg.min_kpts
         )
-        # sids are map segment ids (class-1, multimap3d.py:119 "sid = sid - 1")
+        # sids are map segment ids (class-1, multimap3d.py:119 "sid = sid-1")
         # so 0 is a real landmark; only -1 (invalid candidate) is excluded
-        use_sem = consistent & enough_kpts & (sids >= 0)
-        q_mask_c = jnp.where(use_sem[:, None], kpt_masks & mask[None], mask[None])
+        use_sem = consistent & enough_kpts & (rank.sids >= 0)
+        q_mask_c = jnp.where(
+            use_sem[:, None], rank.kpt_masks & mask[None], mask[None]
+        )
         ref_mask_c = jnp.where(
             use_sem[:, None],
-            ref_mask & (ref_sids_tab == sids[:, None]),
+            ref_mask & (tabs.sids == rank.sids[:, None]),
             ref_mask,
         )
     else:
-        q_mask_c = jnp.broadcast_to(mask[None], kpt_masks.shape)
+        q_mask_c = jnp.broadcast_to(mask[None], rank.kpt_masks.shape)
         ref_mask_c = ref_mask
 
     # -- 4. batched matching vs VRFs
@@ -252,30 +333,27 @@ def localize_frame(
     qh = camera.size[1]
     nk0 = normalize_kpts_like_reference(kpts, qw, qh)  # [N, 2]
     nk0 = jnp.broadcast_to(nk0[None], (cfg.seg_k, n, 2))
-    nk1 = jax.vmap(normalize_kpts_like_reference)(ref_uv, ref_w, ref_h)
+    nk1 = jax.vmap(normalize_kpts_like_reference)(tabs.uv, tabs.w, tabs.h)
     d0 = jnp.broadcast_to(descs[None], (cfg.seg_k,) + descs.shape)
     s0 = jnp.broadcast_to(scores[None], (cfg.seg_k, n))
     matches = match_fn(
-        d0, nk0, s0, q_mask_c, ref_desc, nk1, ref_score, ref_mask_c
+        d0, nk0, s0, q_mask_c, tabs.desc, nk1, tabs.score, ref_mask_c
     )  # [seg_k, N] indices into K, -1 invalid
 
     # -- 5. batched PnP per candidate
     m_valid = matches >= 0  # [seg_k, N]
-    safe_m = jnp.clip(matches, 0, ref_xyz.shape[1] - 1)
+    safe_m = jnp.clip(matches, 0, tabs.xyz.shape[1] - 1)
     m_xyz = jnp.take_along_axis(
-        ref_xyz, safe_m[..., None], axis=1
+        tabs.xyz, safe_m[..., None], axis=1
     )  # [seg_k, N, 3]
     m_pt_idx = jnp.where(
-        m_valid, jnp.take_along_axis(ref_pt_idx, safe_m, axis=1), -1
-    )
-    m_sid = jnp.where(
-        m_valid, jnp.take_along_axis(ref_sids_tab, safe_m, axis=1), -1
+        m_valid, jnp.take_along_axis(tabs.pt_idx, safe_m, axis=1), -1
     )
     enough_matches = (
         jnp.sum(m_valid.astype(jnp.int32), -1) >= cfg.min_matches
     )
 
-    keys = jax.random.split(key, cfg.seg_k + 1)
+    keys = jax.random.split(key, cfg.seg_k)
     pnp = jax.vmap(
         lambda k, xyz, mv: ransac_pnp(
             k,
@@ -287,61 +365,113 @@ def localize_frame(
             num_hypotheses=cfg.num_hypotheses,
             min_inliers=cfg.min_inliers,
         )
-    )(keys[:-1], m_xyz, m_valid)
+    )(keys, m_xyz, m_valid)
 
     # -- 6. first candidate (rank order) clearing the gate
-    ok = pnp.success & cand_valid & enough_matches
+    ok = pnp.success & rank.cand_valid & enough_matches
     order_idx = jnp.arange(cfg.seg_k)
     pick = jnp.argmin(jnp.where(ok, order_idx, cfg.seg_k))
     any_ok = jnp.any(ok)
     # fall back to best inliers when nothing clears the gate (reference keeps
     # the best attempt on the frame, multimap3d.py:294-298)
-    best_by_inl = jnp.argmax(jnp.where(cand_valid, pnp.num_inliers, -1))
+    best_by_inl = jnp.argmax(jnp.where(rank.cand_valid, pnp.num_inliers, -1))
     pick = jnp.where(any_ok, pick, best_by_inl)
 
-    R0 = pnp.R[pick]
-    t0 = pnp.t[pick]
-    inl0 = pnp.num_inliers[pick]
-    picked_slot = safe_slots[pick]
-    picked_sid = jnp.where(any_ok, sids[pick], -1)
-    kpt_point_idx = jnp.where(
-        pnp.inliers[pick], m_pt_idx[pick], -1
-    )  # [N]
-    kpt_xyz = m_xyz[pick]
+    return CoreResult(
+        R0=pnp.R[pick],
+        t0=pnp.t[pick],
+        inl0=pnp.num_inliers[pick],
+        any_ok=any_ok,
+        pick=pick,
+        picked_slot=rank.safe_slots[pick],
+        picked_sid=jnp.where(any_ok, rank.sids[pick], -1),
+        kpt_point_idx=jnp.where(pnp.inliers[pick], m_pt_idx[pick], -1),
+        kpt_xyz=m_xyz[pick],
+    )
 
-    # -- 7. refinement (singlemap3d.py:260-266 dispatch)
-    if cfg.do_refinement:
-        if cfg.refinement_method == "matching":
-            Rr, tr, inl_r, ref_ok, r_pt_idx, r_xyz = _refine_by_matching(
-                keys[-1], dmap, match_fn, camera, kpts, scores, descs, mask,
-                picked_slot, cfg,
-            )
-        else:
-            Rr, tr, inl_r, ref_ok, r_pt_idx, r_xyz = _refine_by_projection(
-                keys[-1], dmap, camera, kpts, descs, mask, picked_slot,
-                R0, t0, cfg,
-            )
-        use = ref_ok & any_ok
-        R_fin = jnp.where(use, Rr, R0)
-        t_fin = jnp.where(use, tr, t0)
-        inl_fin = jnp.where(use, inl_r, inl0)
-        kpt_point_idx = jnp.where(use, r_pt_idx, kpt_point_idx)
-        kpt_xyz = jnp.where(use[..., None], r_xyz, kpt_xyz)
+
+def finalize_result(
+    core: CoreResult,
+    refinement: Optional[Tuple],  # (Rr, tr, inl_r, ref_ok, r_pt_idx, r_xyz)
+) -> LocResult:
+    """Step 7 merge + output packing (element-wise; batched or per-frame)."""
+    kpt_point_idx = core.kpt_point_idx
+    kpt_xyz = core.kpt_xyz
+    if refinement is not None:
+        Rr, tr, inl_r, ref_ok, r_pt_idx, r_xyz = refinement
+        use = ref_ok & core.any_ok
+
+        def bc(x):
+            return use.reshape(use.shape + (1,) * (x.ndim - use.ndim))
+
+        R_fin = jnp.where(bc(core.R0), Rr, core.R0)
+        t_fin = jnp.where(bc(core.t0), tr, core.t0)
+        inl_fin = jnp.where(use, inl_r, core.inl0)
+        kpt_point_idx = jnp.where(bc(kpt_point_idx), r_pt_idx, kpt_point_idx)
+        kpt_xyz = jnp.where(bc(kpt_xyz), r_xyz, kpt_xyz)
     else:
-        R_fin, t_fin, inl_fin = R0, t0, inl0
+        R_fin, t_fin, inl_fin = core.R0, core.t0, core.inl0
 
     return LocResult(
         qvec=rotmat2qvec(R_fin),
         tvec=t_fin,
         R=R_fin,
-        success=any_ok,
+        success=core.any_ok,
         num_inliers=inl_fin,
-        matched_order=jnp.where(any_ok, pick, -1).astype(jnp.int32),
-        matched_sid=picked_sid,
-        initial_num_inliers=inl0,
+        matched_order=jnp.where(core.any_ok, core.pick, -1).astype(jnp.int32),
+        matched_sid=core.picked_sid,
+        initial_num_inliers=core.inl0,
         kpt_point_idx=kpt_point_idx,
         kpt_xyz=kpt_xyz,
     )
+
+
+def localize_frame(
+    key: jax.Array,
+    dmap: DeviceMap,
+    match_fn: MatchFn,
+    camera: Camera,
+    kpts: jax.Array,  # [N, 2]
+    scores: jax.Array,  # [N]
+    descs: jax.Array,  # [N, D]
+    mask: jax.Array,  # [N]
+    seg_logits: jax.Array,  # [N, C]
+    cfg: LocConfig,
+) -> LocResult:
+    """Full relocalization of one query frame (vmap over a batch).
+
+    ``match_fn(desc0, nk0, sc0, m0, desc1, nk1, sc1, m1) -> matches0 [b, N]``
+    wraps the matcher (GML/AdaGML/GM/NN) over a candidate batch.
+
+    Composed from the phase functions above; the sharded-map engine
+    (maps/sharded.py + Localizer) reuses the same phases with distributed
+    gathers between them.
+    """
+    n_seg = dmap.seg_vrf_slot.shape[0]
+    keys = jax.random.split(key, 2)
+
+    rank = rank_candidates(
+        dmap.seg_vrf_slot, dmap.vrf_frame_idx, seg_logits, mask, cfg
+    )
+    tabs = gather_vrf_tables(dmap, rank.frames)
+    core = match_pnp_core(
+        keys[0], match_fn, camera, kpts, scores, descs, rank, tabs, n_seg,
+        cfg,
+    )
+
+    refinement = None
+    if cfg.do_refinement:
+        if cfg.refinement_method == "matching":
+            refinement = _refine_by_matching(
+                keys[1], dmap, match_fn, camera, kpts, scores, descs,
+                rank.mask, core.picked_slot, cfg,
+            )
+        else:
+            refinement = _refine_by_projection(
+                keys[1], dmap, camera, kpts, descs, rank.mask,
+                core.picked_slot, core.R0, core.t0, cfg,
+            )
+    return finalize_result(core, refinement)
 
 
 def _refine_by_projection(
@@ -354,11 +484,21 @@ def _refine_by_projection(
     current pose estimate, matches query descriptors to gated projections by
     NN + ratio test, and re-solves PnP.
     """
-    pt_idx = dmap.vrf_ref_point_idx[slot]  # [Pr]
+    rset = gather_refine_set(dmap, slot)
+    return refine_projection_core(
+        key, camera, kpts, descs, mask, rset, R0, t0, cfg
+    )
+
+
+def refine_projection_core(
+    key, camera: Camera, kpts, descs, mask, rset: RefineSet, R0, t0,
+    cfg: LocConfig,
+):
+    """Projection refinement on a pre-gathered covisible point set."""
+    pt_idx = rset.pt_idx  # [Pr]
     pvalid = pt_idx >= 0
-    safe = jnp.clip(pt_idx, 0, dmap.point_xyz.shape[0] - 1)
-    xyz = dmap.point_xyz[safe]  # [Pr, 3]
-    pdesc = dmap.point_desc[safe]  # [Pr, D]
+    xyz = rset.xyz  # [Pr, 3]
+    pdesc = rset.desc  # [Pr, D]
 
     uv, z = project(camera, R0, t0, xyz)  # [Pr, 2]
     w = camera.size[0]
@@ -384,16 +524,18 @@ def _refine_by_projection(
     gate = (proj_err < 2.0 * cfg.threshold) & in_img[None]
     dist = jnp.where(gate, dist, dist + 100.0)
 
-    # top-2 NN + ratio test
-    neg = -dist
-    top2, idx2 = lax.top_k(neg, 2)
-    d1 = -top2[:, 0]
-    d2 = -top2[:, 1]
+    # top-2 NN + ratio test. min/argmin + masked second min instead of
+    # lax.top_k: top_k sorts the whole 2048-wide lane axis and dominated the
+    # refinement stage on TPU; three VPU reductions are ~free.
+    nn_idx = jnp.argmin(dist, axis=-1)
+    d1 = jnp.min(dist, axis=-1)
+    cols = jnp.arange(dist.shape[-1])[None, :]
+    d2 = jnp.min(
+        jnp.where(cols == nn_idx[:, None], jnp.inf, dist), axis=-1
+    )
     keep = (d1 / jnp.maximum(d2, 1e-9) <= cfg.projection_ratio) & (
         d1 < 100.0
     ) & mask
-
-    nn_idx = idx2[:, 0]
     m_xyz = xyz[nn_idx]
     m_pt_idx = jnp.where(keep, pt_idx[nn_idx], -1)
 
@@ -421,40 +563,42 @@ def _refine_by_matching(
     through the matcher in one call instead of the reference's per-frame GPU
     loop), stacks all 2D-3D matches, and solves one large RANSAC.
     """
-    n = kpts.shape[0]
     covis = dmap.vrf_covis[slot][: cfg.covisibility_frame]  # [C]
     cvalid = covis >= 0
     frames = jnp.clip(covis, 0, dmap.frame_R.shape[0] - 1)
+    tabs = gather_vrf_tables(dmap, frames)
+    return refine_matching_core(
+        key, match_fn, camera, kpts, scores, descs, mask, cvalid, tabs, cfg
+    )
 
-    ref_pt_idx = dmap.frame_point_idx[frames]  # [C, K]
-    ref_uv = dmap.frame_kp_uv[frames]
-    ref_score = dmap.frame_kp_score[frames]
-    ref_mask = dmap.frame_kp_mask[frames] & cvalid[:, None]
-    safe_pt = jnp.clip(ref_pt_idx, 0, dmap.point_xyz.shape[0] - 1)
-    ref_xyz = dmap.point_xyz[safe_pt]
-    ref_desc = dmap.point_desc[safe_pt]
-    ref_w = dmap.frame_size[frames][:, 0]
-    ref_h = dmap.frame_size[frames][:, 1]
 
-    c = frames.shape[0]
+def refine_matching_core(
+    key, match_fn, camera: Camera, kpts, scores, descs, mask,
+    cvalid, tabs: VrfTables, cfg: LocConfig,
+):
+    """Matching refinement on pre-gathered covisible frame tables [C, K]."""
+    n = kpts.shape[0]
+    ref_mask = tabs.mask & cvalid[:, None]
+
+    c = cvalid.shape[0]
     qw = camera.size[0]
     qh = camera.size[1]
     nk0 = jnp.broadcast_to(
         normalize_kpts_like_reference(kpts, qw, qh)[None], (c, n, 2)
     )
-    nk1 = jax.vmap(normalize_kpts_like_reference)(ref_uv, ref_w, ref_h)
+    nk1 = jax.vmap(normalize_kpts_like_reference)(tabs.uv, tabs.w, tabs.h)
     d0 = jnp.broadcast_to(descs[None], (c,) + descs.shape)
     s0 = jnp.broadcast_to(scores[None], (c, n))
     m0 = jnp.broadcast_to(mask[None], (c, n))
     matches = match_fn(
-        d0, nk0, s0, m0, ref_desc, nk1, ref_score, ref_mask
+        d0, nk0, s0, m0, tabs.desc, nk1, tabs.score, ref_mask
     )  # [C, N]
 
     m_valid = (matches >= 0) & mask[None]  # [C, N]
-    safe_m = jnp.clip(matches, 0, ref_xyz.shape[1] - 1)
-    m_xyz = jnp.take_along_axis(ref_xyz, safe_m[..., None], axis=1)
+    safe_m = jnp.clip(matches, 0, tabs.xyz.shape[1] - 1)
+    m_xyz = jnp.take_along_axis(tabs.xyz, safe_m[..., None], axis=1)
     m_pt = jnp.where(
-        m_valid, jnp.take_along_axis(ref_pt_idx, safe_m, axis=1), -1
+        m_valid, jnp.take_along_axis(tabs.pt_idx, safe_m, axis=1), -1
     )
 
     # stack: the correspondence set is the flattened [C*N] matches (a query
@@ -487,6 +631,133 @@ def _refine_by_matching(
     return res.R, res.t, res.num_inliers, res.success, kpt_point_idx, kpt_xyz
 
 
+def _make_sharded_step(smap, match_fn: MatchFn, cfg: LocConfig):
+    """Compiled batch step over a row-sharded map (maps/sharded.py).
+
+    Same phase functions as localize_frame, but the map gathers between
+    phases are distributed (all_gather indices -> ownership-masked local
+    gather -> psum_scatter), so each device only ever holds 1/n of the heavy
+    point/frame tables plus its own batch shard's working set. Results are
+    element-wise equal to the replicated-map engine (tests/test_sharded_map).
+    """
+    from pram_tpu.maps.sharded import dist_take
+
+    mesh = smap.mesh
+    ax = smap.axis
+    n_seg = int(smap.seg_vrf_slot.shape[0])
+    from jax.sharding import PartitionSpec as P
+
+    def gather_tables(frames, frame_size, f_pt, f_uv, f_sc, f_km,
+                      p_xyz, p_desc, p_seg):
+        """frames [b_loc, ...] -> VrfTables [b_loc, ..., K, *]."""
+        fps = smap.frames_per_shard
+        pps = smap.points_per_shard
+        pt_idx = dist_take(f_pt, frames, ax, fps)
+        uv = dist_take(f_uv, frames, ax, fps)
+        score = dist_take(f_sc, frames, ax, fps)
+        kmask = dist_take(f_km, frames, ax, fps) > 0
+        xyz = dist_take(p_xyz, pt_idx, ax, pps)
+        desc = dist_take(p_desc, pt_idx, ax, pps)
+        seg = dist_take(p_seg, pt_idx, ax, pps)
+        sids = jnp.where(pt_idx >= 0, seg, -1)
+        fsz = frame_size[frames]  # replicated small table
+        return VrfTables(
+            pt_idx, uv, score, kmask, xyz, desc, sids,
+            fsz[..., 0], fsz[..., 1],
+        )
+
+    def body(key, cam_p, cam_s, kpts, scores, descs, mask, seg_logits,
+             seg_vrf_slot, vrf_frame_idx, vrf_covis, vrf_ref_point_idx,
+             frame_size,
+             p_xyz, p_desc, p_seg, f_pt, f_uv, f_sc, f_km):
+        b_loc = kpts.shape[0]
+        nd = jax.lax.axis_size(ax)
+        me = jax.lax.axis_index(ax)
+        # identical RNG stream to the replicated path: global split, local
+        # contiguous slice
+        all_keys = jax.random.split(key, b_loc * nd)
+        keys = jax.lax.dynamic_slice_in_dim(all_keys, me * b_loc, b_loc)
+        k2 = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+        keys_core, keys_ref = k2[:, 0], k2[:, 1]
+
+        rank = jax.vmap(
+            lambda lg, m: rank_candidates(
+                seg_vrf_slot, vrf_frame_idx, lg, m, cfg
+            )
+        )(seg_logits, mask)
+
+        tabs = gather_tables(
+            rank.frames, frame_size, f_pt, f_uv, f_sc, f_km,
+            p_xyz, p_desc, p_seg,
+        )
+        core = jax.vmap(
+            lambda k, cp, cs, kp, sc, de, rk, tb: match_pnp_core(
+                k, match_fn, Camera(cp, cs), kp, sc, de, rk, tb, n_seg, cfg
+            )
+        )(keys_core, cam_p, cam_s, kpts, scores, descs, rank, tabs)
+
+        if cfg.do_refinement:
+            slot = core.picked_slot  # [b_loc]
+            if cfg.refinement_method == "matching":
+                covis = vrf_covis[slot][:, : cfg.covisibility_frame]
+                cvalid = covis >= 0
+                frames2 = jnp.clip(covis, 0, smap.n_frames - 1)
+                tabs2 = gather_tables(
+                    frames2, frame_size, f_pt, f_uv, f_sc, f_km,
+                    p_xyz, p_desc, p_seg,
+                )
+                refinement = jax.vmap(
+                    lambda k, cp, cs, kp, sc, de, m, cv, tb:
+                    refine_matching_core(
+                        k, match_fn, Camera(cp, cs), kp, sc, de, m, cv, tb,
+                        cfg,
+                    )
+                )(keys_ref, cam_p, cam_s, kpts, scores, descs, rank.mask,
+                  cvalid, tabs2)
+            else:
+                rp_idx = vrf_ref_point_idx[slot]  # [b_loc, Pr]
+                rset = RefineSet(
+                    rp_idx,
+                    dist_take(p_xyz, rp_idx, ax, smap.points_per_shard),
+                    dist_take(p_desc, rp_idx, ax, smap.points_per_shard),
+                )
+                refinement = jax.vmap(
+                    lambda k, cp, cs, kp, de, m, rs, R, t:
+                    refine_projection_core(
+                        k, Camera(cp, cs), kp, de, m, rs, R, t, cfg
+                    )
+                )(keys_ref, cam_p, cam_s, kpts, descs, rank.mask, rset,
+                  core.R0, core.t0)
+            return jax.vmap(finalize_result)(core, refinement)
+        return jax.vmap(lambda c: finalize_result(c, None))(core)
+
+    data = P(ax)
+    repl = P()
+    sm = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(repl, data, data, data, data, data, data, data,
+                  repl, repl, repl, repl, repl,
+                  data, data, data, data, data, data, data),
+        out_specs=LocResult(*([data] * len(LocResult._fields))),
+        check_vma=False,
+    )
+    jitted = jax.jit(sm)
+
+    def step(key, camera, kpts, scores, descs, mask, seg_logits):
+        return jitted(
+            key, camera.params, camera.size, kpts, scores, descs, mask,
+            seg_logits,
+            smap.seg_vrf_slot, smap.vrf_frame_idx, smap.vrf_covis,
+            smap.vrf_ref_point_idx, smap.frame_size,
+            smap.point_xyz, smap.point_desc, smap.point_seg,
+            smap.frame_point_idx, smap.frame_kp_uv, smap.frame_kp_score,
+            smap.frame_kp_mask,
+        )
+
+    return step
+
+
 class Localizer:
     """Convenience wrapper: device map + matcher + compiled batch step.
 
@@ -504,21 +775,30 @@ class Localizer:
 
     def __init__(
         self,
-        dmap: DeviceMap,
+        dmap,
         match_fn: MatchFn,
         cfg: LocConfig,
         mesh=None,
     ):
-        """With a mesh, the query batch shards over the 'data' axis and the
-        map replicates — inference scales across chips exactly like the
-        training step (XLA partitions the whole compiled program; no
+        """With a mesh, the query batch shards over the 'data' axis; the map
+        replicates (plain DeviceMap) or row-shards over the same axis
+        (maps/sharded.py ShardedMap) — inference scales across chips exactly
+        like the training step (XLA partitions the whole compiled program; no
         per-scene host loop)."""
+        from pram_tpu.maps.sharded import ShardedMap
+
         self.dmap = dmap
         self.match_fn = match_fn
         self.cfg = cfg
+        self.is_sharded = isinstance(dmap, ShardedMap)
+        if self.is_sharded:
+            mesh = dmap.mesh
         self.mesh = mesh
 
         def make_step(step_cfg: LocConfig):
+            if self.is_sharded:
+                return _make_sharded_step(dmap, match_fn, step_cfg)
+
             def step(key, camera, kpts, scores, descs, mask, seg_logits):
                 keys = jax.random.split(key, kpts.shape[0])
                 return jax.vmap(
