@@ -85,44 +85,68 @@ def evaluate_queries(
     key: Optional[jax.Array] = None,
     log_fn=print,
     log_interval: int = 10,
+    pipeline_depth: int = 2,
+    prefetch: int = 2,
 ) -> EvalReport:
     """Run the engine over batched queries and tally recall.
+
+    Streaming is double-buffered on both ends: a producer thread pulls
+    batches from the (host-IO-bound) iterable into a bounded queue, and up
+    to ``pipeline_depth`` localize dispatches stay in flight before their
+    results are synced and tallied — host feature reads, H2D transfer
+    (~30 ms on the relay-attached device) and device compute all overlap.
+    Set ``pipeline_depth=0, prefetch=0`` for the fully synchronous loop.
 
     Each batch dict: camera_params [B,8], camera_size [B,2], keypoints
     [B,N,2], scores [B,N], descriptors [B,N,D], mask [B,N], seg_logits
     [B,N,C], gt_qvec [B,4], gt_tvec [B,3], names (list, optional).
     """
+    import collections
+    import queue as _queue
+    import threading
+
     key = key if key is not None else jax.random.PRNGKey(0)
     report = EvalReport(buckets=buckets, bucket_counts=[0] * len(buckets))
 
-    for bidx, batch in enumerate(batches):
-        key, sub = jax.random.split(key)
-        t0 = time.perf_counter()
-        res = localizer.localize_batch(
-            sub,
-            Camera(jnp.asarray(batch["camera_params"]),
-                   jnp.asarray(batch["camera_size"])),
-            jnp.asarray(batch["keypoints"]),
-            jnp.asarray(batch["scores"]),
-            jnp.asarray(batch["descriptors"]),
-            jnp.asarray(batch["mask"]),
-            jnp.asarray(batch["seg_logits"]),
-        )
-        jax.block_until_ready(res.qvec)
-        dt = time.perf_counter() - t0
+    if prefetch > 0:
+        q: _queue.Queue = _queue.Queue(maxsize=prefetch)
 
-        qe, te = compute_pose_error(
-            res.qvec,
-            res.tvec,
-            jnp.asarray(batch["gt_qvec"], jnp.float32),
-            jnp.asarray(batch["gt_tvec"], jnp.float32),
-        )
-        qe = np.asarray(qe)
-        te = np.asarray(te)
+        def _produce():
+            try:
+                for item in batches:
+                    q.put(item)
+            finally:
+                q.put(None)
+
+        threading.Thread(target=_produce, daemon=True).start()
+
+        def batch_iter():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+
+        source = batch_iter()
+    else:
+        source = iter(batches)
+
+    t_last = time.perf_counter()
+    inflight = collections.deque()
+
+    def drain(entry):
+        nonlocal t_last
+        bidx, names, res, qe_d, te_d = entry
+        qe = np.asarray(qe_d)
+        te = np.asarray(te_d)
         success = np.asarray(res.success)
+        now = time.perf_counter()
+        dt = now - t_last
+        t_last = now
         b = qe.shape[0]
-        names = batch.get("names", [f"b{bidx}_{i}" for i in range(b)])
-
+        names = names if names is not None else [
+            f"b{bidx}_{i}" for i in range(b)
+        ]
         for i in range(b):
             report.n_total += 1
             report.time_results["total"].append(dt / b)
@@ -138,14 +162,37 @@ def evaluate_queries(
                 report.failed_cases.append(names[i])
                 report.q_errors.append(180.0)
                 report.t_errors.append(float("inf"))
-
         if log_fn is not None and (bidx + 1) % log_interval == 0:
             log_fn(
                 f"[{report.n_total}] "
                 + ", ".join(
-                    f"{v * 100:.1f}%"
-                    for v in report.recall().values()
+                    f"{v * 100:.1f}%" for v in report.recall().values()
                 )
             )
 
+    for bidx, batch in enumerate(source):
+        key, sub = jax.random.split(key)
+        res = localizer.localize_batch(
+            sub,
+            Camera(jnp.asarray(batch["camera_params"]),
+                   jnp.asarray(batch["camera_size"])),
+            jnp.asarray(batch["keypoints"]),
+            jnp.asarray(batch["scores"]),
+            jnp.asarray(batch["descriptors"]),
+            jnp.asarray(batch["mask"]),
+            jnp.asarray(batch["seg_logits"]),
+        )
+        # pose errors computed on device as part of the same async stream
+        qe_d, te_d = compute_pose_error(
+            res.qvec,
+            res.tvec,
+            jnp.asarray(batch["gt_qvec"], jnp.float32),
+            jnp.asarray(batch["gt_tvec"], jnp.float32),
+        )
+        inflight.append((bidx, batch.get("names"), res, qe_d, te_d))
+        while len(inflight) > pipeline_depth:
+            drain(inflight.popleft())
+
+    while inflight:
+        drain(inflight.popleft())
     return report

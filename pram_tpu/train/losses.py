@@ -100,6 +100,83 @@ def seg_iou_precision(
     return mean_iou, mean_prec
 
 
+def cls_loss_ce(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """Sum-reduced multi-class CE normalized by non-background count.
+
+    Reference tools/metrics.py:152-163 (compute_cls_loss_ce); unused by the
+    shipped training pipeline but part of its metric surface. ``pred`` is
+    ``[B, C]`` or ``[B, C, S]`` (S parallel heads, summed), ``target`` the
+    integer labels of matching shape minus the C axis.
+    """
+    def one(p2, t1):  # [B, C], [B]
+        logp = jax.nn.log_softmax(p2, axis=-1)
+        picked = jnp.take_along_axis(logp, t1[:, None].astype(jnp.int32), 1)
+        return -jnp.sum(picked)
+
+    if pred.ndim == 2:
+        total = one(pred, target)
+    else:
+        total = 0.0
+        for i in range(pred.shape[-1]):
+            total = total + one(pred[..., i], target[..., i])
+    n_valid = jnp.maximum(jnp.sum((target > 0).astype(jnp.float32)), 1.0)
+    return total / n_valid
+
+
+def cls_loss_kl(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """Sum-reduced KL(softmax(target) || softmax(pred)).
+
+    Reference tools/metrics.py:166-180 (compute_cls_loss_kl); ``target`` are
+    logits of a soft distribution. Multi-head ``[..., S]`` inputs average
+    over heads like the reference.
+    """
+    def one(p2, t2):
+        logp = jax.nn.log_softmax(p2, axis=-1)
+        q = jax.nn.softmax(t2, axis=-1)
+        logq = jax.nn.log_softmax(t2, axis=-1)
+        return jnp.sum(q * (logq - logp))
+
+    if pred.ndim == 2:
+        return one(pred, target)
+    total = 0.0
+    for i in range(pred.shape[-1]):
+        total = total + one(pred[..., i], target[..., i])
+    return total / pred.shape[-1]
+
+
+def sc_loss_l1(pred, target, mask=None):
+    """Scene-coordinate L1 (tools/metrics.py:183-196): per-sample mean over
+    the point axis, then masked mean over the rest."""
+    loss = jnp.mean(jnp.abs(pred - target), axis=1)
+    if mask is not None:
+        denom = jnp.maximum(jnp.sum(mask.astype(loss.dtype)), 1.0)
+        return jnp.sum(jnp.where(mask, loss, 0.0)) / denom
+    return jnp.mean(loss)
+
+
+def sc_loss_geo(pred, P, K, p2ds, mean_xyz, scale_xyz, max_value=20.0,
+                mask=None):
+    """Scene-coordinate reprojection loss (tools/metrics.py:199-216).
+
+    Faithfully reproduces the reference's quirk of projecting the
+    *normalized* coordinates (it builds p3ds then homogenizes ``pred``, not
+    ``p3ds``). pred ``[B, 3, N]``, P ``[B, 3or4, 4]``, K ``[B, 3, 3]``,
+    p2ds ``[B, N, 2]``.
+    """
+    b, _, n = pred.shape
+    ones = jnp.ones((b, 1, n), pred.dtype)
+    p3ds_homo = jnp.concatenate([pred, ones], axis=1)  # [B, 4, N]
+    cam = jnp.matmul(P, p3ds_homo)[:, :3, :]
+    proj = jnp.matmul(K, cam)  # [B, 3, N]
+    p2 = proj[:, :2, :] / proj[:, 2:, :]
+    loss = jnp.sum((p2 - jnp.transpose(p2ds, (0, 2, 1))) ** 2, axis=1)
+    loss = jnp.minimum(loss, max_value)
+    if mask is not None:
+        denom = jnp.maximum(jnp.sum(mask.astype(loss.dtype)), 1.0)
+        return jnp.sum(jnp.where(mask, loss, 0.0)) / denom
+    return jnp.mean(loss)
+
+
 class SeqIoU:
     """Streaming mean-IoU accumulator (tools/metrics.py:199-216): per-frame
     IoUs are averaged over a whole evaluation sequence."""

@@ -317,3 +317,71 @@ def test_descriptor_compressor_reference_parity(ref_nets, rng):
     np.testing.assert_allclose(
         np.asarray(out).transpose(0, 2, 1), ref, atol=1e-5
     )
+
+
+def test_aux_losses_match_reference_metrics(rng):
+    """cls CE/KL + scene-coordinate losses vs the real tools/metrics.py.
+
+    These are unused by the reference training pipeline but part of its
+    metric surface (tools/metrics.py:151-216); pinned here for completeness.
+    """
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from tools import metrics as ref_metrics
+
+    from pram_tpu.train.losses import (
+        cls_loss_ce, cls_loss_kl, sc_loss_geo, sc_loss_l1,
+    )
+
+    b, c, s, n = 4, 9, 3, 16
+    pred2 = rng.randn(b, c).astype(np.float32)
+    tgt1 = rng.randint(0, c, size=(b,))
+    ref = ref_metrics.compute_cls_loss_ce(
+        torch.from_numpy(pred2), torch.from_numpy(tgt1)
+    ).item()
+    got = float(cls_loss_ce(jnp.asarray(pred2), jnp.asarray(tgt1)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    pred3 = rng.randn(b, c, s).astype(np.float32)
+    tgt2 = rng.randint(0, c, size=(b, s))
+    ref = ref_metrics.compute_cls_loss_ce(
+        torch.from_numpy(pred3), torch.from_numpy(tgt2)
+    ).item()
+    got = float(cls_loss_ce(jnp.asarray(pred3), jnp.asarray(tgt2)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    tlog = rng.randn(b, c).astype(np.float32)
+    ref = ref_metrics.compute_cls_loss_kl(
+        torch.from_numpy(pred2), torch.from_numpy(tlog)
+    ).item()
+    got = float(cls_loss_kl(jnp.asarray(pred2), jnp.asarray(tlog)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+    p = rng.randn(b, n, 3).astype(np.float32)
+    t = rng.randn(b, n, 3).astype(np.float32)
+    mask = rng.rand(b, 3) > 0.3  # reference masks the per-axis means
+    ref = ref_metrics.compute_sc_loss_l1(
+        torch.from_numpy(p), torch.from_numpy(t), mask=torch.from_numpy(mask)
+    ).item()
+    got = float(sc_loss_l1(jnp.asarray(p), jnp.asarray(t), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    predc = rng.randn(b, 3, n).astype(np.float32)
+    P = np.tile(np.eye(4, dtype=np.float32)[None, :3], (b, 1, 1))
+    P[:, :, 3] = rng.rand(b, 3) + np.array([0, 0, 5.0], np.float32)
+    K = np.tile(np.eye(3, dtype=np.float32)[None], (b, 1, 1))
+    K[:, 0, 0] = K[:, 1, 1] = 100.0
+    p2ds = rng.rand(b, n, 2).astype(np.float32) * 10
+    mean_xyz = rng.randn(b, 3).astype(np.float32)
+    scale_xyz = (rng.rand(b, 3) + 0.5).astype(np.float32)
+    ref = ref_metrics.compute_sc_loss_geo(
+        torch.from_numpy(predc), torch.from_numpy(P), torch.from_numpy(K),
+        torch.from_numpy(p2ds), torch.from_numpy(mean_xyz),
+        torch.from_numpy(scale_xyz), max_value=20,
+    ).item()
+    got = float(sc_loss_geo(
+        jnp.asarray(predc), jnp.asarray(P), jnp.asarray(K),
+        jnp.asarray(p2ds), jnp.asarray(mean_xyz), jnp.asarray(scale_xyz),
+        max_value=20.0,
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
