@@ -190,6 +190,7 @@ class HlocLocalizer:
 
         matches, dxyz, dpid = self._match_and_lift(qdata, db_ids)
         best = None
+        n_kpts = nq
         for order, db_id in enumerate(db_ids):
             m = matches[order]
             sel = m >= 0
@@ -222,6 +223,7 @@ class HlocLocalizer:
             }
             if best is None or ninl > best["num_inliers"]:
                 best = rec
+            rec["n_kpts"] = n_kpts
             if ninl >= self.inlier_th:
                 break
 
@@ -320,9 +322,14 @@ def run_localizer(
     tallies = [0] * len(ERROR_THRESHOLDS)
     loc_log = {}
     times = []
+    full_log = ""
+    n_total = 0
+    n_failed = 0
     for qi, (qname, qinfo) in enumerate(queries):
+        n_total += 1
         if qname not in retrievals:
             failed.append(qname)
+            n_failed += 1
             continue
         db_ids = [
             loc.db_name_to_id[n]
@@ -331,18 +338,27 @@ def run_localizer(
         ]
         if not db_ids:
             failed.append(qname)
+            n_failed += 1
             continue
         t0 = time.time()
         out = loc.localize(qname, qinfo, db_ids, jax.random.fold_in(key, qi))
-        times.append(time.time() - t0)
+        loc_time = time.time() - t0
+        times.append(loc_time)
         poses[qname] = (out["qvec"], out["tvec"])
+        # _loc.npy record schema = the reference's (localizer.py:161-165)
         loc_log[qname] = {
             "keypoints_query": out.get("keypoints_query", np.zeros((0, 2))),
             "points3D_ids": out.get("points3D_ids", np.zeros(0, np.int64)),
-            "num_inliers": out["num_inliers"],
         }
-        if not out["success"]:
+        # failure criterion and per-query log line match localizer.py:138-167
+        if out["num_inliers"] == 0:
             failed.append(qname)
+            n_failed += 1
+        print_text = (
+            "All {:d}/{:d} failed cases, time[cs/fn]: {:.2f}/{:.2f}".format(
+                n_failed, n_total, 0.0, loc_time
+            )
+        )
         if gt_poses and qname in gt_poses:
             qe, te = compute_pose_error(
                 jnp.asarray(out["qvec"], jnp.float32),
@@ -353,14 +369,29 @@ def run_localizer(
             for i, (t_th, q_th) in enumerate(ERROR_THRESHOLDS):
                 if float(te) <= t_th and float(qe) <= q_th:
                     tallies[i] += 1
+            print_text += (
+                ", q_error:{:.2f} t_error:{:.2f} {:d}/{:d}/{:d}/{:d}, "
+                "time: {:.2f}, {:d}pts".format(
+                    float(qe), float(te), tallies[0], tallies[1], tallies[2],
+                    n_total, loc_time, int(out.get("n_kpts", 0)),
+                )
+            )
+        full_log += out.get("log_info", "") + print_text + "\n"
 
-    # pose file in the long-term-visual-localization submission format
-    with open(osp.join(output_dir, "poses.txt"), "w") as f:
+    # artifact set mirrors the reference writers (localizer.py:169-192):
+    # poses (full query name + qvec + tvec), <poses>.failed, _full.log,
+    # _loc.npy
+    results = osp.join(output_dir, "poses.txt")
+    with open(results, "w") as f:
         for qname, (q, t) in poses.items():
-            vals = " ".join(f"{v:.8f}" for v in np.concatenate([q, t]))
-            f.write(f"{osp.basename(qname)} {vals}\n")
-    with open(osp.join(output_dir, "failed.txt"), "w") as f:
-        f.write("\n".join(failed))
+            qvec = " ".join(map(str, np.asarray(q)))
+            tvec = " ".join(map(str, np.asarray(t)))
+            f.write(f"{qname} {qvec} {tvec}\n")
+    with open(results + ".failed", "w") as f:
+        for v in failed:
+            f.write(v + "\n")
+    with open(osp.join(output_dir, "poses_full.log"), "w") as f:
+        f.write(full_log)
     np.save(osp.join(output_dir, "loc_log.npy"), loc_log)
 
     n = max(len(queries), 1)

@@ -115,6 +115,31 @@ def test_run_localizer_synthetic(tmp_path, rng):
     assert float(qe) < 2.0 and float(te) < 0.05
     # recall tallies counted the query at the tightest threshold
     assert out["recall"]["0.25m/2.0deg"] == 1.0
-    # artifacts written
-    assert osp.exists(tmp_path / "out" / "poses.txt")
-    assert osp.exists(tmp_path / "out" / "loc_log.npy")
+    # artifact contract matches the reference writers (localizer.py:169-192):
+    # poses: "<full query name> <qvec x4> <tvec x3>"
+    with open(tmp_path / "out" / "poses.txt") as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    assert len(lines) == 1
+    toks = lines[0].split()
+    assert toks[0] == "q/q0.jpg" and len(toks) == 1 + 4 + 3
+    np.testing.assert_allclose(
+        np.asarray(toks[1:], np.float64), np.concatenate([q, t]), rtol=1e-6
+    )
+    # <poses>.failed: one failed name per line (empty here)
+    with open(str(tmp_path / "out" / "poses.txt") + ".failed") as f:
+        assert f.read().strip() == ""
+    # _full.log: the reference's per-query summary line format
+    import re
+
+    with open(tmp_path / "out" / "poses_full.log") as f:
+        log_lines = [ln for ln in f.read().splitlines() if ln]
+    assert re.match(
+        r"All \d+/\d+ failed cases, time\[cs/fn\]: [\d.]+/[\d.]+, "
+        r"q_error:[\d.-]+ t_error:[\d.-]+ \d+/\d+/\d+/\d+, "
+        r"time: [\d.]+, \d+pts",
+        log_lines[-1],
+    ), log_lines[-1]
+    # _loc.npy record schema: exactly the reference's two keys per query
+    log = np.load(tmp_path / "out" / "loc_log.npy", allow_pickle=True).item()
+    assert set(log.keys()) == {"q/q0.jpg"}
+    assert set(log["q/q0.jpg"].keys()) == {"keypoints_query", "points3D_ids"}
