@@ -70,3 +70,31 @@ def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh), batch
     )
+
+
+def shard_params_for_model_axis(mesh: Mesh, variables, min_size: int = 4096):
+    """Tensor-parallel parameter placement over the mesh's 'model' axis.
+
+    An extension beyond reference parity (the reference is DP-only,
+    SURVEY.md §2.3), for recognition heads too large to replicate — e.g. an
+    Aachen-scale seg head or a much wider hidden dim. Every 2D kernel whose
+    output dim divides the 'model' axis (and is worth sharding) is placed
+    column-sharded; everything else replicates. Under jit, XLA's SPMD
+    partitioner propagates the shardings through the matmuls and inserts
+    the all-gathers/reduces over ICI — outputs are bit-equal to the
+    replicated forward (tests/test_model_axis.py).
+    """
+    assert "model" in mesh.axis_names, "mesh has no 'model' axis"
+    msize = mesh.shape["model"]
+    col = NamedSharding(mesh, P(None, "model"))
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        if (
+            hasattr(x, "ndim") and x.ndim == 2
+            and x.shape[-1] % msize == 0 and x.size >= min_size
+        ):
+            return jax.device_put(x, col)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(place, variables)
