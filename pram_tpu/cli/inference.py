@@ -23,6 +23,11 @@ def main(argv=None):
                     help="torch SegNetViT checkpoint to convert")
     ap.add_argument("--matcher_weight_path", default=None)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the query batch over all devices ('data')")
+    ap.add_argument("--shard_map", action="store_true",
+                    help="also row-shard the map tables over the mesh "
+                         "(Aachen-scale maps that don't fit replicated)")
     args = ap.parse_args(argv)
 
     import jax
@@ -85,7 +90,21 @@ def main(argv=None):
         rec_vars = rec.init(jax.random.PRNGKey(0), z, jnp.zeros((1, 8, 2)))
 
     match_fn = build_match_fn(cfg.matching_method, args.matcher_weight_path)
-    localizer = Localizer(dmap, match_fn, cfg.localization)
+    if args.shard_map:
+        from pram_tpu.maps.sharded import shard_map_tables
+        from pram_tpu.parallel.mesh import make_mesh
+
+        smap = shard_map_tables(dmap, make_mesh())
+        print(f"map sharded: {smap.hbm_bytes_per_device() / 1e6:.1f} "
+              f"MB/device over {smap.mesh.devices.size} devices")
+        localizer = Localizer(smap, match_fn, cfg.localization)
+    elif args.mesh:
+        from pram_tpu.parallel.mesh import make_mesh
+
+        localizer = Localizer(dmap, match_fn, cfg.localization,
+                              mesh=make_mesh())
+    else:
+        localizer = Localizer(dmap, match_fn, cfg.localization)
 
     rec_apply = jax.jit(
         lambda d, k, m: rec.apply(rec_vars, d, k, m)["prediction"]

@@ -141,11 +141,24 @@ class SelfAttentionBlock(nn.Module):
         x: jax.Array,
         encoding: Optional[Tuple[jax.Array, jax.Array]] = None,
         mask: Optional[jax.Array] = None,
+        splits: Optional[Tuple[int, ...]] = None,
     ) -> jax.Array:
+        """``splits``: when x is a token-concatenation of independent sides
+        (GML runs self-attention on both keypoint sets with shared weights),
+        the projections and MLP run once on the concatenation while
+        attention stays blocked per side — halving the number of (layout-
+        bound) XLA matmuls per layer without changing results."""
         b, n, _ = x.shape
         h = self.num_heads
         hd = self.hidden_dim // h
         scale = hd**-0.5
+        bounds = None
+        if splits is not None:
+            assert sum(splits) == n
+            edges = [0]
+            for s in splits:
+                edges.append(edges[-1] + s)
+            bounds = list(zip(edges[:-1], edges[1:]))
 
         if use_fused_attention():
             from pram_tpu.ops.attention_pallas import (
@@ -163,9 +176,29 @@ class SelfAttentionBlock(nn.Module):
                 cos, sin = cos[:, 0], sin[:, 0]
             else:
                 cos = sin = None
-            msg = fused_self_attention_qkv(
-                qkv, cos, sin, mask_to_bias(mask, b, n), scale, h
-            ).astype(x.dtype)
+
+            def attend(qkv_s, cos_s, sin_s, mask_s, n_s):
+                return fused_self_attention_qkv(
+                    qkv_s, cos_s, sin_s, mask_to_bias(mask_s, b, n_s),
+                    scale, h,
+                )
+
+            if bounds is None:
+                msg = attend(qkv, cos, sin, mask, n).astype(x.dtype)
+            else:
+                msg = jnp.concatenate(
+                    [
+                        attend(
+                            qkv[:, lo:hi],
+                            None if cos is None else cos[:, lo:hi],
+                            None if sin is None else sin[:, lo:hi],
+                            None if mask is None else mask[:, lo:hi],
+                            hi - lo,
+                        )
+                        for lo, hi in bounds
+                    ],
+                    axis=1,
+                ).astype(x.dtype)
         else:
             qkv = nn.Dense(self.hidden_dim * 3, name="qkv")(x)
             qkv = qkv.reshape(b, n, h, hd, 3)
@@ -175,14 +208,33 @@ class SelfAttentionBlock(nn.Module):
                 q = apply_rotary(encoding, q)
                 k = apply_rotary(encoding, k)
 
-            logits = jnp.einsum(
-                "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-            ) * scale
-            key_mask = None if mask is None else mask[:, None, None, :]
-            attn = masked_softmax(logits, key_mask).astype(v.dtype)
-            msg = jnp.einsum(
-                "bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32
-            ).astype(x.dtype)
+            def attend(q_s, k_s, v_s, mask_s):
+                logits = jnp.einsum(
+                    "bhid,bhjd->bhij", q_s, k_s,
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                key_mask = (
+                    None if mask_s is None else mask_s[:, None, None, :]
+                )
+                attn = masked_softmax(logits, key_mask).astype(v_s.dtype)
+                return jnp.einsum(
+                    "bhij,bhjd->bhid", attn, v_s,
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+
+            if bounds is None:
+                msg = attend(q, k, v, mask)
+            else:
+                msg = jnp.concatenate(
+                    [
+                        attend(
+                            q[:, :, lo:hi], k[:, :, lo:hi], v[:, :, lo:hi],
+                            None if mask is None else mask[:, lo:hi],
+                        )
+                        for lo, hi in bounds
+                    ],
+                    axis=2,
+                )
             msg = jnp.moveaxis(msg, 1, 2).reshape(b, n, self.hidden_dim)
         msg = nn.Dense(self.hidden_dim, name="proj")(msg)
 
@@ -209,10 +261,19 @@ class CrossAttentionBlock(nn.Module):
     def __call__(
         self,
         x0: jax.Array,
-        x1: jax.Array,
+        x1: Optional[jax.Array] = None,
         mask0: Optional[jax.Array] = None,
         mask1: Optional[jax.Array] = None,
+        splits: Optional[Tuple[int, int]] = None,
     ) -> Tuple[jax.Array, jax.Array]:
+        """Pass (x0, x1) as separate sides, or x0 = their token
+        concatenation with ``splits=(n0, n1)`` and x1=None — the cat form
+        keeps one token stream flowing through a whole GML layer stack
+        (no per-layer split/concat of the activations)."""
+        cat_in = x1 is None
+        if cat_in:
+            n0, n1 = splits
+            x0, x1 = x0[:, :n0], x0[:, n0:]
         b, n0, _ = x0.shape
         n1 = x1.shape[1]
         h = self.num_heads
@@ -231,13 +292,28 @@ class CrossAttentionBlock(nn.Module):
                 fused_cross_attention_packed,
             )
 
+            # one projection matmul over the token concatenation (both
+            # sides share weights), sliced for the attention kernel
+            cat = jnp.concatenate([x0, x1], axis=1)
+            qk = to_qk(cat)
+            v = to_v(cat)
             m0, m1 = fused_cross_attention_packed(
-                to_qk(x0), to_qk(x1), to_v(x0), to_v(x1),
+                qk[:, :n0], qk[:, n0:], v[:, :n0], v[:, n0:],
                 mask_to_bias(mask0, b, n0), mask_to_bias(mask1, b, n1),
                 scale, h,
             )
-            m0 = m0.astype(x0.dtype)
-            m1 = m1.astype(x1.dtype)
+            m_cat = jnp.concatenate([m0, m1], axis=1).astype(x0.dtype)
+            m_cat = proj(m_cat)
+
+            y = jnp.concatenate([cat, m_cat], axis=-1)
+            y = mlp_0(y)
+            y = mlp_ln(y)
+            y = nn.gelu(y, approximate=False)
+            y = mlp_3(y)
+            out = cat + y
+            if cat_in:
+                return out, None
+            return out[:, :n0], out[:, n0:]
         else:
             def split_heads(t, n):
                 return jnp.moveaxis(t.reshape(b, n, h, hd), 2, 1)
@@ -284,4 +360,8 @@ class CrossAttentionBlock(nn.Module):
             y = nn.gelu(y, approximate=False)
             return mlp_3(y)
 
-        return x0 + mlp(x0, m0), x1 + mlp(x1, m1)
+        y0 = x0 + mlp(x0, m0)
+        y1 = x1 + mlp(x1, m1)
+        if cat_in:
+            return jnp.concatenate([y0, y1], axis=1), None
+        return y0, y1

@@ -61,28 +61,40 @@ class GML(nn.Module):
         cfg = self.config
         head_dim = cfg.hidden_dim // cfg.num_heads
 
-        input_proj = nn.Dense(cfg.hidden_dim, name="input_proj")
-        x0 = input_proj(desc0)
-        x1 = input_proj(desc1)
+        n0 = desc0.shape[1]
+        n1 = desc1.shape[1]
+        splits = (n0, n1)
+
+        # one token stream: both sides share every projection, so the
+        # layer stack runs each matmul ONCE over the concatenation (the
+        # attention ops stay blocked per side via `splits`) — fewer,
+        # larger MXU calls than the reference's per-side module calls
+        cat = jnp.concatenate([desc0, desc1], axis=1)
+        x = nn.Dense(cfg.hidden_dim, name="input_proj")(cat)
         posenc = LearnableFourierPE(f_dim=head_dim, name="poseenc")
-        enc0 = posenc(norm_kpts0)
-        enc1 = posenc(norm_kpts1)
+        enc = posenc(jnp.concatenate([norm_kpts0, norm_kpts1], axis=1))
+        if mask0 is None and mask1 is None:
+            mask_cat = None
+        else:
+            b = desc0.shape[0]
+            m0 = mask0 if mask0 is not None else jnp.ones((b, n0), bool)
+            m1 = mask1 if mask1 is not None else jnp.ones((b, n1), bool)
+            mask_cat = jnp.concatenate([m0, m1], axis=1)
 
         for i in range(cfg.n_layers):
-            sa = SelfAttentionBlock(
+            x = SelfAttentionBlock(
                 feat_dim=cfg.hidden_dim,
                 hidden_dim=cfg.hidden_dim,
                 num_heads=cfg.num_heads,
                 name=f"self_attn_{i}",
-            )
-            x0 = sa(x0, enc0, mask0)
-            x1 = sa(x1, enc1, mask1)
-            x0, x1 = CrossAttentionBlock(
+            )(x, enc, mask_cat, splits=splits)
+            x, _ = CrossAttentionBlock(
                 feat_dim=cfg.hidden_dim,
                 hidden_dim=cfg.hidden_dim,
                 num_heads=cfg.num_heads,
                 name=f"cross_attn_{i}",
-            )(x0, x1, mask0, mask1)
+            )(x, None, mask0, mask1, splits=splits)
+        x0, x1 = x[:, :n0], x[:, n0:]
 
         # The reference creates out_proj for every layer but only applies the
         # last at inference (nets/gml.py:279-280); earlier ones exist for the

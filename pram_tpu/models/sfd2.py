@@ -331,6 +331,11 @@ class ResNet4x(nn.Module):
             out1b = ConvBNReLU(d1, stride=2, name="conv1b")(out1a)
         out2a = ConvBNReLU(d2, name="conv2a")(out1b)
         out2b = ConvBNReLU(d2, stride=2, name="conv2b")(out2a)
+        # NOTE: a fused Pallas conv3a+conv3b (ops/convpair_pallas.py) was
+        # measured SLOWER than XLA here (11.3 vs 9.4 ms/b32): these thick
+        # stride-1 convs are FLOP-bound and XLA already runs them at the
+        # MXU roofline, so fusing the HBM intermediate can't pay for the
+        # kernel's per-tile overhead. Keep XLA.
         out3a = ConvBNReLU(d3, name="conv3a")(out2b)
         out3b = ConvBNReLU(d3, name="conv3b")(out3a)
         out4 = out3b
@@ -414,7 +419,17 @@ def extract(
       seg_descriptors ``[B, K, 256]``, score_map, desc_map, mid_features.
     """
     out = model.apply(variables, image)
-    nms = simple_nms(out["score_map"], nms_radius)
+    score_map = out["score_map"]
+    if (
+        jax.default_backend() == "tpu"
+        and score_map.shape[1] % 8 == 0
+        and nms_radius > 0
+    ):
+        from pram_tpu.ops.nms_pallas import simple_nms_pallas
+
+        nms = simple_nms_pallas(score_map, nms_radius)
+    else:
+        nms = simple_nms(score_map, nms_radius)
     kps: Keypoints = extract_keypoints(
         nms,
         max_keypoints=max_keypoints,

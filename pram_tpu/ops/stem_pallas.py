@@ -191,9 +191,11 @@ def fused_stem(
     bsz, h, w, cin = image.shape
     assert cin == 3 and w % 2 == 0
     h2, w2out = h // 2, w // 2
-    th = 16 if h2 % 16 == 0 else 8
-    assert h2 % th == 0, f"H/2={h2} must be a multiple of {th}"
     dtype = image.dtype
+    # f32 traces (flax init) double every scratch; halve the tile to stay
+    # inside the 16MB scoped-vmem limit
+    th = 16 if (h2 % 16 == 0 and dtype == jnp.bfloat16) else 8
+    assert h2 % th == 0, f"H/2={h2} must be a multiple of {th}"
     acc = jnp.float32
 
     k1f, b1f = fold_bn(k1, b1, *bn1)

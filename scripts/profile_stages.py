@@ -150,13 +150,30 @@ def main():
     )
     print(f"refine_by_projection : {timeit(refj, keys, camera, kpts, qd, valid, slots, R0, t0):8.2f} ms/b{batch}")
 
-    loc = Localizer(dmap, make_gml_match_fn(gml, gvars), cfg)
     logits = jnp.asarray(rng.rand(batch, n_kpts, 17), jnp.float32)
     scores = jnp.asarray(rng.rand(batch, n_kpts), jnp.float32)
-    locj = jax.jit(
-        lambda k, c, kp, s, d, m, lg: loc._step(k, c, kp, s, d, m, lg).qvec
-    )
-    print(f"full localize step   : {timeit(locj, key, camera, kpts, scores, qd, valid, logits):8.2f} ms/b{batch}")
+
+    import dataclasses as _dc
+
+    from pram_tpu.engine.matching import make_nn_match_fn
+
+    variants = [
+        ("full localize step  ", Localizer(dmap, make_gml_match_fn(gml, gvars), cfg)),
+        ("step no-refine      ", Localizer(dmap, make_gml_match_fn(gml, gvars),
+                                           _dc.replace(cfg, do_refinement=False))),
+        ("step NN matcher     ", Localizer(dmap, make_nn_match_fn(), cfg)),
+        ("step NN no-refine   ", Localizer(dmap, make_nn_match_fn(),
+                                           _dc.replace(cfg, do_refinement=False))),
+        ("step NN nr hyp=16   ", Localizer(dmap, make_nn_match_fn(),
+                                           _dc.replace(cfg, do_refinement=False,
+                                                       num_hypotheses=16))),
+    ]
+    for name, l in variants:
+        lj = jax.jit(
+            lambda k, c, kp, s, d, m, lg, _l=l: _l._step(
+                k, c, kp, s, d, m, lg).qvec
+        )
+        print(f"{name} : {timeit(lj, key, camera, kpts, scores, qd, valid, logits):8.2f} ms/b{batch}")
 
 
 if __name__ == "__main__":

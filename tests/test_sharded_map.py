@@ -105,6 +105,47 @@ def test_sharded_map_matches_replicated(rng, refinement):
     assert len({s.device for s in r_sh.qvec.addressable_shards}) == 8
 
 
+def test_sharded_map_with_gml_matcher(rng):
+    """The attentional matcher (vmapped Pallas Sinkhorn inside shard_map)
+    composes with the distributed gathers; results match the replicated
+    engine."""
+    import jax.numpy as jnp
+
+    from pram_tpu.engine.matching import make_gml_match_fn
+    from pram_tpu.models.gml import GML, GMLConfig
+
+    mesh = make_mesh()
+    scene = make_synthetic_scene(rng, n_cluster=4, points_per_cluster=120,
+                                 n_ref_frames=6, desc_dim=64)
+    dmap = to_device(scene.map)
+    cfg = LocConfig(seg_k=2, min_inliers=10, min_kpts=32, threshold=5.0,
+                    num_hypotheses=64, do_refinement=False)
+    gml = GML(GMLConfig(descriptor_dim=64, hidden_dim=64, num_heads=2,
+                        n_layers=2, sinkhorn_iterations=5))
+    z = jnp.zeros((1, 8, 64))
+    k = jnp.zeros((1, 8, 2))
+    gvars = gml.init(jax.random.PRNGKey(3), z, z, k, k)
+    match_fn = make_gml_match_fn(gml, gvars)
+
+    b = 8
+    kpts, scores, descs, mask, logits = _queries(rng, scene, b)
+    cam = _camera(b)
+    key = jax.random.PRNGKey(1)
+
+    r_rep = Localizer(dmap, match_fn, cfg).localize_batch(
+        key, cam, kpts, scores, descs, mask, logits)
+    smap = shard_map_tables(dmap, mesh)
+    r_sh = Localizer(smap, match_fn, cfg).localize_batch(
+        key, cam, kpts, scores, descs, mask, logits)
+
+    np.testing.assert_array_equal(np.asarray(r_rep.success),
+                                  np.asarray(r_sh.success))
+    np.testing.assert_array_equal(np.asarray(r_rep.num_inliers),
+                                  np.asarray(r_sh.num_inliers))
+    np.testing.assert_allclose(np.asarray(r_rep.tvec),
+                               np.asarray(r_sh.tvec), atol=1e-4)
+
+
 def test_sharded_map_capacity_math(rng):
     """hbm_bytes_per_device reports the 1/n_dev share of the heavy tables."""
     mesh = make_mesh()

@@ -55,7 +55,9 @@ def test_fused_stem_matches_xla(rng, h, w, b):
 
 
 def test_resnet4x_pallas_stem_matches_module_path(rng):
-    """The full model with use_pallas_stem on equals the module path."""
+    """The full model with use_pallas_stem on equals the module path
+    (covers the fused stem AND the fused conv3 pair)."""
+    import pram_tpu.ops.convpair_pallas as cp
     import pram_tpu.ops.stem_pallas as sp
 
     image = jnp.asarray(rng.randn(1, 32, 16, 3).astype(np.float32))
@@ -63,19 +65,18 @@ def test_resnet4x_pallas_stem_matches_module_path(rng):
     variables = model_off.init(jax.random.PRNGKey(0), image)
     ref = model_off.apply(variables, image)
 
-    # force the pallas path through the interpreter on CPU
-    orig = sp.fused_stem
+    # force the pallas paths through the interpreter on CPU
+    orig_stem = sp.fused_stem
+    orig_pair = cp.fused_conv_pair
 
-    def interp_stem(*args, **kw):
-        kw["interpret"] = True
-        return orig(*args, **kw)
-
-    sp.fused_stem = interp_stem
+    sp.fused_stem = lambda *a, **kw: orig_stem(*a, interpret=True, **kw)
+    cp.fused_conv_pair = lambda *a, **kw: orig_pair(*a, interpret=True, **kw)
     try:
         model_on = ResNet4x(use_pallas_stem=True)
         got = model_on.apply(variables, image)
     finally:
-        sp.fused_stem = orig
+        sp.fused_stem = orig_stem
+        cp.fused_conv_pair = orig_pair
 
     for key in ("score_map", "desc_map", "mid_features", "logits"):
         np.testing.assert_allclose(
