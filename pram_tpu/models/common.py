@@ -99,6 +99,19 @@ def masked_softmax(
     return jax.nn.softmax(logits, axis=axis)
 
 
+class _LNParams(nn.Module):
+    """Bare LayerNorm parameters with nn.LayerNorm's naming (for the fused
+    residual-MLP kernel)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class _DenseParams(nn.Module):
     """Bare Dense parameters with nn.Dense's init and naming (the fused
     attention path applies them with permuted columns)."""
@@ -236,8 +249,25 @@ class SelfAttentionBlock(nn.Module):
                     axis=2,
                 )
             msg = jnp.moveaxis(msg, 1, 2).reshape(b, n, self.hidden_dim)
-        msg = nn.Dense(self.hidden_dim, name="proj")(msg)
 
+        if use_fused_attention():
+            from pram_tpu.ops.mlp_pallas import fused_residual_mlp
+
+            wp_, bp_ = _DenseParams(self.hidden_dim, name="proj")(
+                self.hidden_dim
+            )
+            w0_, b0_ = _DenseParams(self.feat_dim * 2, name="mlp_0")(
+                x.shape[-1] + self.hidden_dim
+            )
+            g_, be_ = _LNParams(self.feat_dim * 2, name="mlp_ln")()
+            w3_, b3_ = _DenseParams(self.feat_dim, name="mlp_3")(
+                self.feat_dim * 2
+            )
+            return fused_residual_mlp(
+                x, msg, wp_, bp_, w0_, b0_, g_, be_, w3_, b3_
+            )
+
+        msg = nn.Dense(self.hidden_dim, name="proj")(msg)
         y = jnp.concatenate([x, msg], axis=-1)
         y = nn.Dense(self.feat_dim * 2, name="mlp_0")(y)
         y = nn.LayerNorm(name="mlp_ln")(y)
@@ -282,10 +312,6 @@ class CrossAttentionBlock(nn.Module):
 
         to_qk = nn.Dense(self.hidden_dim, name="to_qk")
         to_v = nn.Dense(self.hidden_dim, name="to_v")
-        proj = nn.Dense(self.hidden_dim, name="proj")
-        mlp_0 = nn.Dense(self.feat_dim * 2, name="mlp_0")
-        mlp_ln = nn.LayerNorm(name="mlp_ln")
-        mlp_3 = nn.Dense(self.feat_dim, name="mlp_3")
 
         if use_fused_attention():
             from pram_tpu.ops.attention_pallas import (
@@ -302,19 +328,31 @@ class CrossAttentionBlock(nn.Module):
                 mask_to_bias(mask0, b, n0), mask_to_bias(mask1, b, n1),
                 scale, h,
             )
-            m_cat = jnp.concatenate([m0, m1], axis=1).astype(x0.dtype)
-            m_cat = proj(m_cat)
+            from pram_tpu.ops.mlp_pallas import fused_residual_mlp
 
-            y = jnp.concatenate([cat, m_cat], axis=-1)
-            y = mlp_0(y)
-            y = mlp_ln(y)
-            y = nn.gelu(y, approximate=False)
-            y = mlp_3(y)
-            out = cat + y
+            m_cat = jnp.concatenate([m0, m1], axis=1).astype(x0.dtype)
+            wp_, bp_ = _DenseParams(self.hidden_dim, name="proj")(
+                self.hidden_dim
+            )
+            w0_, b0_ = _DenseParams(self.feat_dim * 2, name="mlp_0")(
+                cat.shape[-1] + self.hidden_dim
+            )
+            g_, be_ = _LNParams(self.feat_dim * 2, name="mlp_ln")()
+            w3_, b3_ = _DenseParams(self.feat_dim, name="mlp_3")(
+                self.feat_dim * 2
+            )
+            out = fused_residual_mlp(
+                cat, m_cat, wp_, bp_, w0_, b0_, g_, be_, w3_, b3_
+            )
             if cat_in:
                 return out, None
             return out[:, :n0], out[:, n0:]
         else:
+            proj = nn.Dense(self.hidden_dim, name="proj")
+            mlp_0 = nn.Dense(self.feat_dim * 2, name="mlp_0")
+            mlp_ln = nn.LayerNorm(name="mlp_ln")
+            mlp_3 = nn.Dense(self.feat_dim, name="mlp_3")
+
             def split_heads(t, n):
                 return jnp.moveaxis(t.reshape(b, n, h, hd), 2, 1)
 

@@ -109,6 +109,7 @@ def test_fused_cross_attention_packed_matches_einsum(rng):
 
 def _interp(monkeypatch):
     import pram_tpu.ops.attention_pallas as ap
+    import pram_tpu.ops.mlp_pallas as mp
 
     monkeypatch.setattr(common, "use_fused_attention", lambda: True)
     monkeypatch.setattr(
@@ -119,6 +120,11 @@ def _interp(monkeypatch):
         ap, "fused_cross_attention_packed",
         lambda *a, **kw: fused_cross_attention_packed(
             *a, interpret=True, **kw),
+    )
+    orig_mlp = mp.fused_residual_mlp
+    monkeypatch.setattr(
+        mp, "fused_residual_mlp",
+        lambda *a, **kw: orig_mlp(*a, interpret=True, **kw),
     )
 
 
