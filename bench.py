@@ -112,9 +112,12 @@ def main():
     # early-exits after the first landmark in the common case
     # (multimap3d.py:234-239); the engine's adaptive two-phase API reruns the
     # full sweep only for failed frames.
+    # gn_iters/lo_rounds: the bench opts into the shallow refinement
+    # schedule explicitly (library default is the pycolmap-depth 8/2);
+    # recall@(5cm,5deg) is measured under the SAME schedule below
     cfg = LocConfig(
         seg_k=1, min_inliers=32, threshold=8.0, num_hypotheses=128,
-        do_refinement=True,
+        do_refinement=True, gn_iters=5, lo_rounds=1,
     )
     loc = Localizer(dmap, make_gml_match_fn(gml, gvars), cfg)
 

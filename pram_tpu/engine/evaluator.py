@@ -42,11 +42,18 @@ class EvalReport:
     buckets: Tuple = INDOOR_BUCKETS
     q_errors: List[float] = field(default_factory=list)
     t_errors: List[float] = field(default_factory=list)
+    # In the pipelined path, time_results entries are AMORTIZED wall-clock
+    # (interval between drains / batch size), not per-batch device latency;
+    # the first drained batch additionally absorbs JIT compilation and the
+    # pipeline fill — its interval is recorded here and excluded by
+    # steady_fps().
     time_results: Dict[str, List[float]] = field(
         default_factory=lambda: {
             "feat": [], "rec": [], "loc": [], "ref": [], "total": []
         }
     )
+    warmup_time: float = 0.0
+    warmup_frames: int = 0
     failed_cases: List[str] = field(default_factory=list)
 
     def recall(self) -> Dict[str, float]:
@@ -59,6 +66,12 @@ class EvalReport:
     def fps(self) -> float:
         tot = sum(self.time_results["total"])
         return self.n_total / tot if tot > 0 else 0.0
+
+    def steady_fps(self) -> float:
+        """Throughput excluding the warm-up drain (compile + pipeline fill)."""
+        tot = sum(self.time_results["total"]) - self.warmup_time
+        n = self.n_total - self.warmup_frames
+        return n / tot if tot > 0 and n > 0 else self.fps()
 
     def summary(self) -> str:
         rec = ", ".join(
@@ -112,10 +125,14 @@ def evaluate_queries(
         q: _queue.Queue = _queue.Queue(maxsize=prefetch)
 
         def _produce():
+            # a failed iterable (e.g. unreadable feature file) must not look
+            # like a normal end-of-stream: ship the exception to the consumer
             try:
                 for item in batches:
                     q.put(item)
-            finally:
+            except BaseException as exc:  # noqa: BLE001 - re-raised below
+                q.put(exc)
+            else:
                 q.put(None)
 
         threading.Thread(target=_produce, daemon=True).start()
@@ -125,6 +142,8 @@ def evaluate_queries(
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
 
         source = batch_iter()
@@ -144,6 +163,10 @@ def evaluate_queries(
         dt = now - t_last
         t_last = now
         b = qe.shape[0]
+        if report.warmup_frames == 0:
+            # first drain: interval includes compile + pipeline fill
+            report.warmup_time = dt
+            report.warmup_frames = b
         names = names if names is not None else [
             f"b{bidx}_{i}" for i in range(b)
         ]

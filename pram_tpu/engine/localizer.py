@@ -51,6 +51,11 @@ class LocConfig:
     semantic_matching: bool = True
     pre_filtering_th: float = 0.95  # background score filter (0 disables)
     num_hypotheses: int = 256
+    # PnP refinement schedule (geometry/pnp.py): the library default (8 GN
+    # iters, 2 LO rounds) matches pycolmap-depth refinement; the throughput
+    # bench opts into a shallower schedule explicitly (bench.py)
+    gn_iters: int = 8
+    lo_rounds: int = 2
     match_threshold: float = 0.2  # matcher mutual-max gate
     projection_ratio: float = 0.995  # refine-by-projection NN ratio
     refinement_method: str = "projection"  # 'projection' | 'matching'
@@ -364,6 +369,8 @@ def match_pnp_core(
             inlier_threshold=cfg.threshold,
             num_hypotheses=cfg.num_hypotheses,
             min_inliers=cfg.min_inliers,
+            gn_iters=cfg.gn_iters,
+            lo_rounds=cfg.lo_rounds,
         )
     )(keys, m_xyz, m_valid)
 
@@ -401,14 +408,17 @@ def finalize_result(
         Rr, tr, inl_r, ref_ok, r_pt_idx, r_xyz = refinement
         use = ref_ok & core.any_ok
 
-        def bc(x):
-            return use.reshape(use.shape + (1,) * (x.ndim - use.ndim))
+        def use_b(like):
+            """``use`` broadcast to ``like``'s rank (condition, not data)."""
+            return use.reshape(use.shape + (1,) * (like.ndim - use.ndim))
 
-        R_fin = jnp.where(bc(core.R0), Rr, core.R0)
-        t_fin = jnp.where(bc(core.t0), tr, core.t0)
+        R_fin = jnp.where(use_b(core.R0), Rr, core.R0)
+        t_fin = jnp.where(use_b(core.t0), tr, core.t0)
         inl_fin = jnp.where(use, inl_r, core.inl0)
-        kpt_point_idx = jnp.where(bc(kpt_point_idx), r_pt_idx, kpt_point_idx)
-        kpt_xyz = jnp.where(bc(kpt_xyz), r_xyz, kpt_xyz)
+        kpt_point_idx = jnp.where(
+            use_b(kpt_point_idx), r_pt_idx, kpt_point_idx
+        )
+        kpt_xyz = jnp.where(use_b(kpt_xyz), r_xyz, kpt_xyz)
     else:
         R_fin, t_fin, inl_fin = core.R0, core.t0, core.inl0
 
@@ -548,6 +558,8 @@ def refine_projection_core(
         inlier_threshold=cfg.threshold,
         num_hypotheses=cfg.num_hypotheses,
         min_inliers=cfg.min_inliers,
+        gn_iters=cfg.gn_iters,
+        lo_rounds=cfg.lo_rounds,
     )
     kpt_point_idx = jnp.where(res.inliers, m_pt_idx, -1)
     return res.R, res.t, res.num_inliers, res.success, kpt_point_idx, m_xyz
@@ -617,6 +629,8 @@ def refine_matching_core(
         inlier_threshold=cfg.threshold,
         num_hypotheses=cfg.num_hypotheses,
         min_inliers=cfg.min_inliers,
+        gn_iters=cfg.gn_iters,
+        lo_rounds=cfg.lo_rounds,
     )
     # per-keypoint association: first covis frame whose match is an inlier
     inl = res.inliers.reshape(c, n)
@@ -795,9 +809,8 @@ class Localizer:
             mesh = dmap.mesh
         self.mesh = mesh
 
-        def make_step(step_cfg: LocConfig):
-            if self.is_sharded:
-                return _make_sharded_step(dmap, match_fn, step_cfg)
+        def make_body(step_cfg: LocConfig):
+            """Unjitted batch step over the replicated map."""
 
             def step(key, camera, kpts, scores, descs, mask, seg_logits):
                 keys = jax.random.split(key, kpts.shape[0])
@@ -809,22 +822,34 @@ class Localizer:
                 )(keys, camera.params, camera.size, kpts, scores, descs,
                   mask, seg_logits)
 
+            return step
+
+        def jit_step(fn):
             if mesh is None:
-                return jax.jit(step)
+                return jax.jit(fn)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("data"))
             cam_sh = Camera(data, data)
             return jax.jit(
-                step,
+                fn,
                 in_shardings=(repl, cam_sh, data, data, data, data, data),
                 out_shardings=LocResult(*([data] * len(LocResult._fields))),
             )
 
+        def make_step(step_cfg: LocConfig):
+            if self.is_sharded:
+                return _make_sharded_step(dmap, match_fn, step_cfg)
+            return jit_step(make_body(step_cfg))
+
+        self._make_body = make_body
+        self._jit_step = jit_step
         self._make_step = make_step
         self._step_matching = None
         self._step = make_step(cfg)
+        self._step_adaptive = None
+        self._step_auto = {}
         import dataclasses as _dc
 
         self._step_k1 = (
@@ -832,15 +857,18 @@ class Localizer:
             if cfg.seg_k == 1
             else make_step(_dc.replace(cfg, seg_k=1))
         )
-        self._merge = jax.jit(
-            lambda ok, a, b: jax.tree_util.tree_map(
+
+        def merge(ok, a, b):
+            return jax.tree_util.tree_map(
                 lambda x, y: jnp.where(
                     ok.reshape((-1,) + (1,) * (x.ndim - 1)), x, y
                 ),
                 a,
                 b,
             )
-        )
+
+        self._merge_fn = merge
+        self._merge = jax.jit(merge)
 
     def localize_batch(
         self, key, camera: Camera, kpts, scores, descs, mask, seg_logits
@@ -855,25 +883,65 @@ class Localizer:
         """Auto refinement dispatch (multimap3d.py:251-255): trust the
         projection-based refinement only when the initial localization found
         >= trust_inliers inliers; frames below that rerun with the
-        matching-based refinement (one extra compiled step, built lazily) and
-        merge per frame."""
+        matching-based refinement and merge per frame.
+
+        Replicated maps: ONE compiled dispatch — the matching-refinement
+        rerun sits behind an on-device ``lax.cond``, so no host sync breaks
+        the evaluator's pipelined streaming. Sharded maps keep the
+        two-dispatch form (collectives inside cond branches are not worth
+        the risk for the beyond-parity engine)."""
         import dataclasses as _dc
 
-        import numpy as np
+        if self.cfg.refinement_method == "matching":
+            return self._step(
+                key, camera, kpts, scores, descs, mask, seg_logits
+            )
 
-        r1 = self._step(key, camera, kpts, scores, descs, mask, seg_logits)
-        trusted = np.asarray(r1.initial_num_inliers) >= trust_inliers
-        if bool(np.all(trusted)) or self.cfg.refinement_method == "matching":
-            return r1
-        if self._step_matching is None:
-            mcfg = _dc.replace(self.cfg, refinement_method="matching")
-            self._step_matching = self._make_step(mcfg)
-        r2 = self._step_matching(
-            jax.random.fold_in(key, 2), camera, kpts, scores, descs, mask,
-            seg_logits,
-        )
-        ok = jnp.asarray(trusted)
-        return LocResult(*self._merge(ok, r1, r2))
+        if self.is_sharded:
+            import numpy as np
+
+            r1 = self._step(
+                key, camera, kpts, scores, descs, mask, seg_logits
+            )
+            trusted = np.asarray(r1.initial_num_inliers) >= trust_inliers
+            if bool(np.all(trusted)):
+                return r1
+            if self._step_matching is None:
+                mcfg = _dc.replace(self.cfg, refinement_method="matching")
+                self._step_matching = self._make_step(mcfg)
+            r2 = self._step_matching(
+                jax.random.fold_in(key, 2), camera, kpts, scores, descs,
+                mask, seg_logits,
+            )
+            return LocResult(*self._merge(jnp.asarray(trusted), r1, r2))
+
+        step = self._step_auto.get(trust_inliers)
+        if step is None:
+            body_proj = self._make_body(self.cfg)
+            body_match = self._make_body(
+                _dc.replace(self.cfg, refinement_method="matching")
+            )
+
+            def astep(key, camera, kpts, scores, descs, mask, seg_logits):
+                r1 = body_proj(
+                    key, camera, kpts, scores, descs, mask, seg_logits
+                )
+                trusted = r1.initial_num_inliers >= trust_inliers
+
+                def rerun(_):
+                    r2 = body_match(
+                        jax.random.fold_in(key, 2), camera, kpts, scores,
+                        descs, mask, seg_logits,
+                    )
+                    return LocResult(*self._merge_fn(trusted, r1, r2))
+
+                return lax.cond(
+                    jnp.all(trusted), lambda _: r1, rerun, None
+                )
+
+            step = self._jit_step(astep)
+            self._step_auto[trust_inliers] = step
+        return step(key, camera, kpts, scores, descs, mask, seg_logits)
 
     def localize_batch_adaptive(
         self, key, camera: Camera, kpts, scores, descs, mask, seg_logits
@@ -881,14 +949,55 @@ class Localizer:
         """Two-phase early exit (reference multimap3d.py:114-239 semantics):
         a 1-candidate pass covers the common case; only when some frame in
         the batch fails does the full seg_k sweep run, and per-frame results
-        merge on device."""
-        import numpy as np
+        merge on device.
 
-        r1 = self._step_k1(key, camera, kpts, scores, descs, mask, seg_logits)
-        if self.cfg.seg_k == 1 or bool(np.all(np.asarray(r1.success))):
-            return r1
-        r2 = self._step(
-            jax.random.fold_in(key, 1), camera, kpts, scores, descs, mask,
-            seg_logits,
+        Replicated maps run both phases in ONE compiled dispatch with the
+        full sweep behind an on-device ``lax.cond`` — the API is
+        pipelining-safe (no ``np.asarray`` sync between phases), so the
+        evaluator's in-flight dispatch queue stays full. Sharded maps keep
+        the two-dispatch form."""
+        if self.cfg.seg_k == 1:
+            return self._step(
+                key, camera, kpts, scores, descs, mask, seg_logits
+            )
+
+        if self.is_sharded:
+            import numpy as np
+
+            r1 = self._step_k1(
+                key, camera, kpts, scores, descs, mask, seg_logits
+            )
+            if bool(np.all(np.asarray(r1.success))):
+                return r1
+            r2 = self._step(
+                jax.random.fold_in(key, 1), camera, kpts, scores, descs,
+                mask, seg_logits,
+            )
+            return LocResult(*self._merge(r1.success, r1, r2))
+
+        if self._step_adaptive is None:
+            import dataclasses as _dc
+
+            body_k1 = self._make_body(_dc.replace(self.cfg, seg_k=1))
+            body_full = self._make_body(self.cfg)
+
+            def astep(key, camera, kpts, scores, descs, mask, seg_logits):
+                r1 = body_k1(
+                    key, camera, kpts, scores, descs, mask, seg_logits
+                )
+
+                def sweep(_):
+                    r2 = body_full(
+                        jax.random.fold_in(key, 1), camera, kpts, scores,
+                        descs, mask, seg_logits,
+                    )
+                    return LocResult(*self._merge_fn(r1.success, r1, r2))
+
+                return lax.cond(
+                    jnp.all(r1.success), lambda _: r1, sweep, None
+                )
+
+            self._step_adaptive = self._jit_step(astep)
+        return self._step_adaptive(
+            key, camera, kpts, scores, descs, mask, seg_logits
         )
-        return LocResult(*self._merge(r1.success, r1, r2))

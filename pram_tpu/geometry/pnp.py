@@ -452,8 +452,8 @@ def ransac_pnp(
     inlier_threshold: float = 12.0,
     num_hypotheses: int = 256,
     min_inliers: int = 8,
-    gn_iters: int = 5,
-    lo_rounds: int = 1,
+    gn_iters: int = 8,
+    lo_rounds: int = 2,
 ) -> PnPResult:
     """Fixed-shape LO-RANSAC PnP for one query (vmap for a batch).
 

@@ -68,15 +68,26 @@ class LearnableFourierPE(nn.Module):
         return cos, sin
 
 
-def use_fused_attention() -> bool:
+def use_fused_attention(*token_counts: int) -> bool:
     """Fused Pallas attention is the default on TPU backends.
 
     The XLA einsum path materializes [B, H, N, M] f32 logits between the two
     attention matmuls; the fused kernels (ops/attention_pallas.py) keep them
     in VMEM. Both paths are element-wise equivalent (tests/test_attention_
     pallas.py).
+
+    ``token_counts`` are the attention side lengths at the call site: the
+    fused path is gated off for counts the kernels can't tile into VMEM
+    (> ops/attention_pallas.py:MAX_FUSED_TOKENS or with no 8-aligned query
+    block), falling back to the XLA einsum path.
     """
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    if token_counts:
+        from pram_tpu.ops.attention_pallas import fused_attention_supported
+
+        return fused_attention_supported(*token_counts)
+    return True
 
 
 def mask_to_bias(mask: Optional[jax.Array], b: int, n: int) -> jax.Array:
@@ -173,7 +184,8 @@ class SelfAttentionBlock(nn.Module):
                 edges.append(edges[-1] + s)
             bounds = list(zip(edges[:-1], edges[1:]))
 
-        if use_fused_attention():
+        attn_sizes = splits if splits is not None else (n,)
+        if use_fused_attention(*attn_sizes):
             from pram_tpu.ops.attention_pallas import (
                 fused_self_attention_qkv,
                 permute_qkv_kernel,
@@ -313,7 +325,7 @@ class CrossAttentionBlock(nn.Module):
         to_qk = nn.Dense(self.hidden_dim, name="to_qk")
         to_v = nn.Dense(self.hidden_dim, name="to_v")
 
-        if use_fused_attention():
+        if use_fused_attention(n0, n1):
             from pram_tpu.ops.attention_pallas import (
                 fused_cross_attention_packed,
             )

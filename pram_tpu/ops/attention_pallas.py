@@ -5,8 +5,23 @@ keypoint tokens. XLA materializes the [B, H, N, M] f32 logits in HBM between
 the two attention matmuls — at GML scale (9 layers x (self+self+cross) at
 512/1024 tokens, batch 32) that is gigabytes of round trips per call and the
 measured stage runs ~7x off the MXU floor. These kernels keep the logits tile
-in VMEM for one (batch) program: N,M <= ~2048 means the full [N, M] f32 tile
-fits comfortably, so no streaming flash machinery is needed.
+in VMEM.
+
+Two regimes, dispatched by token count (Aachen eval runs 4096 keypoints,
+configs/config_train_aachen_sfd2.yaml:74):
+
+- N,M small (<= ~1024): one (batch) program holds the full [N, M] f32
+  logits tile — no streaming machinery.
+- larger N: query rows are tiled over a second grid axis while K/V stay
+  fully VMEM-resident ([4096, 256] bf16 = 2 MB), so each step's logits
+  block is [q_block, M] and softmax needs no running-max rescaling (every
+  row still sees all keys in one block).
+
+Attention statistics (AdaGML's PoolingLayer input, nets/adagml.py:148,229):
+the kernels can additionally emit, per key token, the attention mass it
+received summed over heads and over VALID query rows (query validity is
+recovered from the bias: 0 = valid, -1e9 = masked). Callers divide by
+heads * n_valid_queries to get the mean the reference computes.
 
 Masking is additive: callers pass per-token f32 biases (0 valid / -1e9
 masked), matching models/common.py:masked_softmax semantics (fully-masked
@@ -48,19 +63,22 @@ def _rotate_half_lanes(x):
     return jnp.where(even, -left, right)
 
 
-def _qkv_kernel(qkv_ref, cos_ref, sin_ref, bias_ref, o_ref,
-                *, scale, heads, hd, rotary):
+def _qkv_kernel(qkv_ref, cos_ref, sin_ref, bias_ref, o_ref, *rest,
+                scale, heads, hd, rotary, with_stats=False):
     """Packed-qkv masked self-attention with in-kernel rotary.
 
     qkv layout: lanes [q_heads | k_heads | v_heads], each ``heads*hd`` wide
     (the caller permutes the projection's output columns, so no XLA-side
-    head split/transpose ever materializes).
+    head split/transpose ever materializes). With ``with_stats`` an extra
+    ``[1, 1, N]`` f32 output receives the per-key attention mass summed over
+    heads and valid query rows.
     """
     d = heads * hd
     bias = bias_ref[0]  # [1, N] f32
     if rotary:
         cos = cos_ref[0]  # [N, hd]
         sin = sin_ref[0]
+    stat_total = None
     for h in range(heads):
         q = qkv_ref[0, :, h * hd : (h + 1) * hd]
         k = qkv_ref[0, :, d + h * hd : d + (h + 1) * hd]
@@ -79,14 +97,111 @@ def _qkv_kernel(qkv_ref, cos_ref, sin_ref, bias_ref, o_ref,
         ) * scale + bias
         logits -= jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits)
-        attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        attn32 = e / jnp.sum(e, axis=-1, keepdims=True)
+        attn = attn32.astype(v.dtype)
         o_ref[0, :, h * hd : (h + 1) * hd] = jnp.dot(
             attn, v, preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
+        if with_stats:
+            # per-key mass from VALID query rows: a rank-1 MXU contraction
+            # with the query-validity row vector (0/-1e9 bias -> 0/1) —
+            # cheaper than relayouting the bias to a column
+            qv = (bias > -0.5).astype(jnp.float32)  # [1, N]
+            s = jax.lax.dot_general(
+                qv, attn32, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, N]
+            stat_total = s if stat_total is None else stat_total + s
+    if with_stats:
+        rest[0][0] = stat_total
+
+
+def _qkv_tiled_kernel(qkv_ref, cos_ref, sin_ref, bias_ref, o_ref, *rest,
+                      scale, heads, hd, rotary, qblk, with_stats=False):
+    """Query-row-tiled variant: grid (batch, N // qblk). K/V (and the full
+    rotary tables) stay VMEM-resident; each step computes a [qblk, N] logits
+    block — no streaming-softmax rescaling needed. Stats accumulate across
+    the query-block grid axis (sequential on TPU)."""
+    j = pl.program_id(1)
+    d = heads * hd
+    bias = bias_ref[0]  # [1, N] f32
+    qstart = j * qblk
+    stat_total = None
+    for h in range(heads):
+        q = qkv_ref[0, pl.dslice(qstart, qblk), h * hd : (h + 1) * hd]
+        k = qkv_ref[0, :, d + h * hd : d + (h + 1) * hd]
+        v = qkv_ref[0, :, 2 * d + h * hd : 2 * d + (h + 1) * hd]
+        if rotary:
+            cos_k = cos_ref[0]  # [N, hd]
+            sin_k = sin_ref[0]
+            cos_q = cos_ref[0, pl.dslice(qstart, qblk), :]
+            sin_q = sin_ref[0, pl.dslice(qstart, qblk), :]
+            qf = q.astype(jnp.float32)
+            kf = k.astype(jnp.float32)
+            q = (qf * cos_q + _rotate_half_lanes(q) * sin_q).astype(q.dtype)
+            k = (kf * cos_k + _rotate_half_lanes(k) * sin_k).astype(k.dtype)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias  # [qblk, N]
+        logits -= jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits)
+        attn32 = e / jnp.sum(e, axis=-1, keepdims=True)
+        attn = attn32.astype(v.dtype)
+        o_ref[0, :, h * hd : (h + 1) * hd] = jnp.dot(
+            attn, v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+        if with_stats:
+            qv = (
+                jax.lax.dynamic_slice(bias, (0, qstart), (1, qblk)) > -0.5
+            ).astype(jnp.float32)  # [1, qblk] validity of THIS block's rows
+            s = jax.lax.dot_general(
+                qv, attn32, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, N]
+            stat_total = s if stat_total is None else stat_total + s
+    if with_stats:
+        stat_ref = rest[0]
+
+        @pl.when(j == 0)
+        def _init():
+            stat_ref[0] = stat_total
+
+        @pl.when(j != 0)
+        def _acc():
+            stat_ref[0] += stat_total
+
+
+# one-program logits tile above this many tokens would crowd VMEM
+# ([1536, 1536] f32 = 9 MB); larger N switches to the query-tiled kernel
+_SINGLE_TILE_MAX = 1024
+# hard cap for the fused path: above this, K/V no longer fit VMEM and the
+# caller should fall back to XLA (models/common.py:use_fused_attention)
+MAX_FUSED_TOKENS = 4096
+
+
+def _pick_qblock(n: int, m: int):
+    """Largest query block dividing n whose [qblk, m] f32 logits tile stays
+    <= 4 MB; None when n has no 8-aligned divisor (caller falls back)."""
+    for qb in (512, 256, 128, 64, 32, 16, 8):
+        if n % qb == 0 and qb * m * 4 <= (4 << 20):
+            return qb
+    return None
+
+
+def fused_attention_supported(*token_counts) -> bool:
+    """Whether the fused kernels can handle these token counts (ADVICE r2:
+    size-gate the Pallas path instead of compiling an over-VMEM tile)."""
+    return all(
+        t <= MAX_FUSED_TOKENS and (t <= _SINGLE_TILE_MAX or
+                                   _pick_qblock(t, t) is not None)
+        for t in token_counts
+    )
 
 
 def fused_self_attention_qkv(
-    qkv, cos, sin, key_bias, scale, heads, *, interpret=False
+    qkv, cos, sin, key_bias, scale, heads, *, interpret=False,
+    return_stats=False,
 ):
     """Self-attention from a packed qkv tensor, heads split in VMEM.
 
@@ -95,10 +210,14 @@ def fused_self_attention_qkv(
         (permute the projection weights with :func:`permute_qkv_kernel`).
       cos/sin: ``[B, N, hd]`` rotary tables (pass None to skip rotary).
       key_bias: ``[B, N]`` f32 additive mask.
+      return_stats: also return ``[B, N]`` f32 per-key attention mass summed
+        over heads and valid query rows (divide by heads * n_valid for the
+        reference's mean, nets/adagml.py:148).
 
     Returns:
       ``[B, N, D]`` merged-head messages, same lane order as the input
-      heads — feeds the output projection directly.
+      heads — feeds the output projection directly. With ``return_stats``,
+      a ``(messages, stat_sums)`` tuple.
     """
     b, n, d3 = qkv.shape
     d = d3 // 3
@@ -108,24 +227,78 @@ def fused_self_attention_qkv(
         cos = jnp.zeros((b, n, hd), qkv.dtype)
         sin = cos
     bias = key_bias[:, None, :].astype(jnp.float32)
-    return pl.pallas_call(
-        partial(_qkv_kernel, scale=scale, heads=heads, hd=hd, rotary=rotary),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, n, d3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
-        interpret=interpret,
-    )(qkv, cos.astype(jnp.float32), sin.astype(jnp.float32), bias)
+
+    out_shape = [jax.ShapeDtypeStruct((b, n, d), qkv.dtype)]
+    if return_stats:
+        out_shape.append(jax.ShapeDtypeStruct((b, 1, n), jnp.float32))
+
+    if n <= _SINGLE_TILE_MAX:
+        out_specs = [
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+        if return_stats:
+            out_specs.append(
+                pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+        out = pl.pallas_call(
+            partial(_qkv_kernel, scale=scale, heads=heads, hd=hd,
+                    rotary=rotary, with_stats=return_stats),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, n, d3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs if return_stats else out_specs[0],
+            out_shape=out_shape if return_stats else out_shape[0],
+            interpret=interpret,
+        )(qkv, cos.astype(jnp.float32), sin.astype(jnp.float32), bias)
+    else:
+        qblk = _pick_qblock(n, n)
+        if qblk is None:
+            raise ValueError(
+                f"fused self-attention unsupported for N={n}; gate with "
+                "fused_attention_supported()"
+            )
+        out_specs = [
+            pl.BlockSpec((1, qblk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+        if return_stats:
+            out_specs.append(
+                pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+        out = pl.pallas_call(
+            partial(_qkv_tiled_kernel, scale=scale, heads=heads, hd=hd,
+                    rotary=rotary, qblk=qblk, with_stats=return_stats),
+            grid=(b, n // qblk),
+            in_specs=[
+                pl.BlockSpec((1, n, d3), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, hd), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, hd), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs if return_stats else out_specs[0],
+            out_shape=out_shape if return_stats else out_shape[0],
+            interpret=interpret,
+        )(qkv, cos.astype(jnp.float32), sin.astype(jnp.float32), bias)
+
+    if return_stats:
+        msg, stat = out
+        return msg, stat[:, 0, :]
+    return out
 
 
 def permute_qkv_kernel(kernel, bias, heads, hd):
@@ -140,10 +313,12 @@ def permute_qkv_kernel(kernel, bias, heads, hd):
 
 def _cross_packed_kernel(
     qk0_ref, qk1_ref, v0_ref, v1_ref, b0_ref, b1_ref, m0_ref, m1_ref,
-    *, scale, heads, hd,
+    *rest, scale, heads, hd, with_stats=False,
 ):
     bias0 = b0_ref[0]  # [1, N]
     bias1 = b1_ref[0]  # [1, M]
+    stat0_total = None  # mass received by side-0 keys (queries = side 1)
+    stat1_total = None  # mass received by side-1 keys (queries = side 0)
     for h in range(heads):
         s = slice(h * hd, (h + 1) * hd)
         q0 = qk0_ref[0, :, s]  # [N, hd]
@@ -157,9 +332,9 @@ def _cross_packed_kernel(
         ) * scale + bias1
         sim -= jnp.max(sim, axis=-1, keepdims=True)
         e = jnp.exp(sim)
-        attn01 = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v1.dtype)
+        attn01 = e / jnp.sum(e, axis=-1, keepdims=True)  # [N, M] f32
         m0_ref[0, :, s] = jnp.dot(
-            attn01, v1, preferred_element_type=jnp.float32
+            attn01.astype(v1.dtype), v1, preferred_element_type=jnp.float32
         ).astype(m0_ref.dtype)
 
         simt = jax.lax.dot_general(
@@ -168,45 +343,184 @@ def _cross_packed_kernel(
         ) * scale + bias0
         simt -= jnp.max(simt, axis=-1, keepdims=True)
         e = jnp.exp(simt)
-        attn10 = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v0.dtype)
+        attn10 = e / jnp.sum(e, axis=-1, keepdims=True)  # [M, N] f32
         m1_ref[0, :, s] = jnp.dot(
-            attn10, v0, preferred_element_type=jnp.float32
+            attn10.astype(v0.dtype), v0, preferred_element_type=jnp.float32
         ).astype(m1_ref.dtype)
+
+        if with_stats:
+            qv0 = (bias0 > -0.5).astype(jnp.float32)  # [1, N]
+            qv1 = (bias1 > -0.5).astype(jnp.float32)  # [1, M]
+            s0 = jax.lax.dot_general(
+                qv1, attn10, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, N]
+            s1 = jax.lax.dot_general(
+                qv0, attn01, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, M]
+            stat0_total = s0 if stat0_total is None else stat0_total + s0
+            stat1_total = s1 if stat1_total is None else stat1_total + s1
+    if with_stats:
+        rest[0][0] = stat0_total
+        rest[1][0] = stat1_total
+
+
+def _cross_dir_kernel(
+    qkq_ref, qkk_ref, v_ref, bq_ref, bk_ref, msg_ref, stat_ref,
+    *, scale, heads, hd, qblk,
+):
+    """One direction of cross attention, tiled over query rows.
+
+    grid (batch, Nq // qblk); keys/values stay fully VMEM-resident. Emits
+    the query-side messages and the key-side received-attention stat sums
+    (accumulated across the sequential query-block axis)."""
+    j = pl.program_id(1)
+    bias_k = bk_ref[0]  # [1, M]
+    bias_q = bq_ref[0]  # [1, Nq]
+    qstart = j * qblk
+    stat_total = None
+    for h in range(heads):
+        s = slice(h * hd, (h + 1) * hd)
+        q = qkq_ref[0, pl.dslice(qstart, qblk), s]  # [qblk, hd]
+        k = qkk_ref[0, :, s]  # [M, hd]
+        v = v_ref[0, :, s]
+        sim = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias_k  # [qblk, M]
+        sim -= jnp.max(sim, axis=-1, keepdims=True)
+        e = jnp.exp(sim)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        msg_ref[0, :, s] = jnp.dot(
+            attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(msg_ref.dtype)
+        qv = (
+            jax.lax.dynamic_slice(bias_q, (0, qstart), (1, qblk)) > -0.5
+        ).astype(jnp.float32)
+        st = jax.lax.dot_general(
+            qv, attn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, M]
+        stat_total = st if stat_total is None else stat_total + st
+
+    @pl.when(j == 0)
+    def _init():
+        stat_ref[0] = stat_total
+
+    @pl.when(j != 0)
+    def _acc():
+        stat_ref[0] += stat_total
+
+
+def _cross_attention_dir(
+    qk_q, qk_k, v_k, bias_q, bias_k, scale, heads, *, interpret=False
+):
+    """Tiled one-directional cross attention; returns (msg_q, stat_k_sum)."""
+    b, nq, d = qk_q.shape
+    m = qk_k.shape[1]
+    hd = d // heads
+    qblk = _pick_qblock(nq, m)
+    if qblk is None:
+        raise ValueError(
+            f"fused cross-attention unsupported for Nq={nq}, M={m}"
+        )
+    bq = bias_q[:, None, :].astype(jnp.float32)
+    bk = bias_k[:, None, :].astype(jnp.float32)
+
+    def const_spec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (1,) + shape, lambda i, j, nd=nd: (i,) + (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+
+    msg, stat = pl.pallas_call(
+        partial(_cross_dir_kernel, scale=scale, heads=heads, hd=hd,
+                qblk=qblk),
+        grid=(b, nq // qblk),
+        in_specs=[
+            const_spec(nq, d), const_spec(m, d), const_spec(m, d),
+            const_spec(1, nq), const_spec(1, m),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, qblk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            const_spec(1, m),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nq, d), qk_q.dtype),
+            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qk_q, qk_k, v_k, bq, bk)
+    return msg, stat[:, 0, :]
 
 
 def fused_cross_attention_packed(
-    qk0, qk1, v0, v1, bias0, bias1, scale, heads, *, interpret=False
+    qk0, qk1, v0, v1, bias0, bias1, scale, heads, *, interpret=False,
+    return_stats=False,
 ):
     """Symmetric shared-QK cross attention on packed [B, N, D] tensors.
 
     Head split/merge happens on VMEM lane blocks; the full attention scale
     is applied to the similarity inside the kernel (callers pass the raw
-    to_qk outputs).
+    to_qk outputs). Above the single-tile size the two directions run as
+    separate query-tiled kernels (same FLOPs: the symmetric kernel already
+    recomputes sim^T).
+
+    With ``return_stats``: also returns (stat0_sum ``[B, N]``, stat1_sum
+    ``[B, M]``) — attention mass received by each side's tokens from the
+    other side's valid queries, summed over heads (nets/adagml.py:229).
     """
     b, n, d = qk0.shape
     m = qk1.shape[1]
     hd = d // heads
-    b0 = bias0[:, None, :].astype(jnp.float32)
-    b1 = bias1[:, None, :].astype(jnp.float32)
+    if max(n, m) <= _SINGLE_TILE_MAX:
+        b0 = bias0[:, None, :].astype(jnp.float32)
+        b1 = bias1[:, None, :].astype(jnp.float32)
 
-    def spec(*shape):
-        nd = len(shape)
-        return pl.BlockSpec(
-            (1,) + shape, lambda i, nd=nd: (i,) + (0,) * nd,
-            memory_space=pltpu.VMEM,
-        )
+        def spec(*shape):
+            nd = len(shape)
+            return pl.BlockSpec(
+                (1,) + shape, lambda i, nd=nd: (i,) + (0,) * nd,
+                memory_space=pltpu.VMEM,
+            )
 
-    return pl.pallas_call(
-        partial(_cross_packed_kernel, scale=scale, heads=heads, hd=hd),
-        grid=(b,),
-        in_specs=[
-            spec(n, d), spec(m, d), spec(n, d), spec(m, d),
-            spec(1, n), spec(1, m),
-        ],
-        out_specs=(spec(n, d), spec(m, d)),
-        out_shape=(
+        out_specs = [spec(n, d), spec(m, d)]
+        out_shape = [
             jax.ShapeDtypeStruct((b, n, d), qk0.dtype),
             jax.ShapeDtypeStruct((b, m, d), qk1.dtype),
-        ),
-        interpret=interpret,
-    )(qk0, qk1, v0, v1, b0, b1)
+        ]
+        if return_stats:
+            out_specs += [spec(1, n), spec(1, m)]
+            out_shape += [
+                jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+                jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
+            ]
+        out = pl.pallas_call(
+            partial(_cross_packed_kernel, scale=scale, heads=heads, hd=hd,
+                    with_stats=return_stats),
+            grid=(b,),
+            in_specs=[
+                spec(n, d), spec(m, d), spec(n, d), spec(m, d),
+                spec(1, n), spec(1, m),
+            ],
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            interpret=interpret,
+        )(qk0, qk1, v0, v1, b0, b1)
+        if return_stats:
+            m0, m1, s0, s1 = out
+            return m0, m1, s0[:, 0, :], s1[:, 0, :]
+        return out
+
+    m0, stat1 = _cross_attention_dir(
+        qk0, qk1, v1, bias0, bias1, scale, heads, interpret=interpret
+    )
+    m1, stat0 = _cross_attention_dir(
+        qk1, qk0, v0, bias1, bias0, scale, heads, interpret=interpret
+    )
+    if return_stats:
+        return m0, m1, stat0, stat1
+    return m0, m1

@@ -186,22 +186,35 @@ def test_auto_refine_dispatch(rng):
         jnp.asarray(q["descriptors"][None]), jnp.asarray(q["mask"][None]),
         jnp.asarray(logits[None]),
     )
-    # high trust threshold -> forces the matching-refinement rerun path
+    # high trust threshold -> forces the matching-refinement rerun branch
+    # (single compiled dispatch with the rerun behind lax.cond)
     res = loc.localize_batch_auto_refine(
         jax.random.PRNGKey(4), cam, *args, trust_inliers=10**6
     )
-    assert loc._step_matching is not None  # matching step was built
+    assert 10**6 in loc._step_auto  # combined cond step was built
     assert bool(res.success[0])
     qe, te = compute_pose_error(
         res.qvec[0], res.tvec[0],
         jnp.asarray(q["qvec"], jnp.float32), jnp.asarray(q["tvec"]),
     )
     assert float(qe) < 5.0 and float(te) < 0.05
+    # the rerun actually executed: with nothing trusted, the result must be
+    # bit-equal to a standalone matching-refinement step run under the
+    # rerun branch's RNG stream (fold_in(key, 2))
+    res_match = loc._make_step(
+        __import__("dataclasses").replace(cfg, refinement_method="matching")
+    )(jax.random.fold_in(jax.random.PRNGKey(4), 2), cam, *args)
+    np.testing.assert_array_equal(
+        np.asarray(res.tvec), np.asarray(res_match.tvec)
+    )
 
-    # low threshold -> trusted, no matching step needed
+    # low threshold -> trusted everywhere: identical to the plain step
     loc2 = Localizer(dmap, make_nn_match_fn(), cfg)
     res2 = loc2.localize_batch_auto_refine(
         jax.random.PRNGKey(4), cam, *args, trust_inliers=1
     )
-    assert loc2._step_matching is None
+    res_plain = loc2.localize_batch(jax.random.PRNGKey(4), cam, *args)
+    np.testing.assert_array_equal(
+        np.asarray(res2.tvec), np.asarray(res_plain.tvec)
+    )
     assert bool(res2.success[0])

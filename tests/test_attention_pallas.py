@@ -111,7 +111,7 @@ def _interp(monkeypatch):
     import pram_tpu.ops.attention_pallas as ap
     import pram_tpu.ops.mlp_pallas as mp
 
-    monkeypatch.setattr(common, "use_fused_attention", lambda: True)
+    monkeypatch.setattr(common, "use_fused_attention", lambda *a: True)
     monkeypatch.setattr(
         ap, "fused_self_attention_qkv",
         lambda *a, **kw: fused_self_attention_qkv(*a, interpret=True, **kw),
@@ -146,18 +146,144 @@ def test_attention_blocks_fused_path_matches(rng, monkeypatch):
     sa = SelfAttentionBlock(feat_dim=d, hidden_dim=d, num_heads=4)
     variables = sa.init(jax.random.PRNGKey(0), x0, enc0, mask0)
     fused = sa.apply(variables, x0, enc0, mask0)
-    monkeypatch.setattr(common, "use_fused_attention", lambda: False)
+    monkeypatch.setattr(common, "use_fused_attention", lambda *a: False)
     ref = sa.apply(variables, x0, enc0, mask0)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
-    monkeypatch.setattr(common, "use_fused_attention", lambda: True)
+    monkeypatch.setattr(common, "use_fused_attention", lambda *a: True)
     ca = CrossAttentionBlock(feat_dim=d, hidden_dim=d, num_heads=4)
     cvars = ca.init(jax.random.PRNGKey(1), x0, x1, mask0, mask1)
     f0, f1 = ca.apply(cvars, x0, x1, mask0, mask1)
-    monkeypatch.setattr(common, "use_fused_attention", lambda: False)
+    monkeypatch.setattr(common, "use_fused_attention", lambda *a: False)
     r0, r1 = ca.apply(cvars, x0, x1, mask0, mask1)
     np.testing.assert_allclose(np.asarray(f0), np.asarray(r0),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(r1),
                                rtol=2e-5, atol=2e-5)
+
+
+def _self_ref_with_stats(qkv_t, cos, sin, mask, scale):
+    """XLA reference: messages + per-key attention mass from valid queries."""
+    b, n = mask.shape
+    q, k, v = qkv_t[..., 0], qkv_t[..., 1], qkv_t[..., 2]
+    if cos is not None:
+        q = apply_rotary((cos, sin), q)
+        k = apply_rotary((cos, sin), k)
+    logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+    logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+    attn = jax.nn.softmax(logits, -1)  # [B, H, N, N]
+    msg = jnp.einsum("bhij,bhjd->bhid", attn, v)
+    d = q.shape[1] * q.shape[-1]
+    msg = jnp.moveaxis(msg, 1, 2).reshape(b, n, d)
+    qv = mask.astype(jnp.float32)
+    stat = jnp.einsum("bhij,bi->bj", attn, qv)  # sum heads + valid queries
+    return msg, stat
+
+
+def test_tiled_self_attention_matches_single_tile(rng, monkeypatch):
+    """The query-tiled kernel (N > _SINGLE_TILE_MAX) equals the einsum path,
+    including rotary and the stats output accumulated across query blocks."""
+    import pram_tpu.ops.attention_pallas as ap
+
+    b, h, n, hd = 2, 2, 32, 8
+    d = h * hd
+    kernel = jnp.asarray(rng.randn(24, 3 * d).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.randn(3 * d).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.randn(b, n, 24).astype(np.float32))
+    mask = jnp.asarray(rng.rand(b, n) > 0.3)
+    kxy = jnp.asarray(rng.rand(b, n, 2).astype(np.float32))
+    scale = hd**-0.5
+
+    pe = LearnableFourierPE(f_dim=hd)
+    pvars = pe.init(jax.random.PRNGKey(0), kxy)
+    cos, sin = pe.apply(pvars, kxy)
+
+    qkv_t = jnp.moveaxis((x @ kernel + bias).reshape(b, n, h, hd, 3), 2, 1)
+    ref_msg, ref_stat = _self_ref_with_stats(qkv_t, cos, sin, mask, scale)
+
+    wp, bp = permute_qkv_kernel(kernel, bias, h, hd)
+    qkv_packed = x @ wp + bp
+    key_bias = mask_to_bias(mask, b, n)
+
+    # force the tiled kernel on this small problem (8-wide query blocks)
+    monkeypatch.setattr(ap, "_SINGLE_TILE_MAX", 8)
+    got, got_stat = fused_self_attention_qkv(
+        qkv_packed, cos[:, 0], sin[:, 0], key_bias, scale, h,
+        interpret=True, return_stats=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_msg),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_stat), np.asarray(ref_stat),
+                               rtol=1e-5, atol=1e-5)
+
+    # single-tile kernel with stats must agree too
+    monkeypatch.setattr(ap, "_SINGLE_TILE_MAX", 1024)
+    got2, got_stat2 = fused_self_attention_qkv(
+        qkv_packed, cos[:, 0], sin[:, 0], key_bias, scale, h,
+        interpret=True, return_stats=True,
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref_msg),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_stat2), np.asarray(ref_stat),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_cross_attention_matches(rng, monkeypatch):
+    """Above the single-tile size the two query-tiled directional kernels
+    reproduce the symmetric kernel, messages and stats."""
+    import pram_tpu.ops.attention_pallas as ap
+
+    b, h, n, m, hd = 2, 2, 32, 16, 8
+    d = h * hd
+    qk0 = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+    qk1 = jnp.asarray(rng.randn(b, m, d).astype(np.float32))
+    v0 = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+    v1 = jnp.asarray(rng.randn(b, m, d).astype(np.float32))
+    mask0 = jnp.asarray(rng.rand(b, n) > 0.3)
+    mask1 = jnp.asarray(rng.rand(b, m) > 0.3)
+    scale = hd**-0.5
+    b0 = mask_to_bias(mask0, b, n)
+    b1 = mask_to_bias(mask1, b, m)
+
+    ref = fused_cross_attention_packed(
+        qk0, qk1, v0, v1, b0, b1, scale, h, interpret=True,
+        return_stats=True,
+    )
+    monkeypatch.setattr(ap, "_SINGLE_TILE_MAX", 8)
+    got = fused_cross_attention_packed(
+        qk0, qk1, v0, v1, b0, b1, scale, h, interpret=True,
+        return_stats=True,
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
+
+    # stats agree with the einsum formulation
+    def split(t, nn_):
+        return jnp.moveaxis(t.reshape(b, nn_, h, hd), 2, 1)
+
+    sim = jnp.einsum(
+        "bhid,bhjd->bhij", split(qk0, n) * scale**0.5,
+        split(qk1, m) * scale**0.5,
+    )
+    a01 = jax.nn.softmax(jnp.where(mask1[:, None, None, :], sim, -1e9), -1)
+    a10 = jax.nn.softmax(jnp.where(mask0[:, None, :, None], sim, -1e9), -2)
+    stat0 = jnp.einsum("bhij,bj->bi", a10, mask1.astype(jnp.float32))
+    stat1 = jnp.einsum("bhij,bi->bj", a01, mask0.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(stat0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[3]), np.asarray(stat1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_size_gate():
+    """ADVICE r2: the fused path must be gated off for over-VMEM token
+    counts instead of failing to compile."""
+    from pram_tpu.ops.attention_pallas import fused_attention_supported
+
+    assert fused_attention_supported(512, 1024)
+    assert fused_attention_supported(4096)
+    assert fused_attention_supported(2048, 2048)
+    assert not fused_attention_supported(8192)  # beyond MAX_FUSED_TOKENS
+    assert not fused_attention_supported(1025 * 3)  # no 8-aligned block
