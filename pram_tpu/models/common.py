@@ -68,6 +68,32 @@ class LearnableFourierPE(nn.Module):
         return cos, sin
 
 
+_FUSED_OVERRIDE: Optional[bool] = None
+
+
+class fused_attention_disabled:
+    """Context manager forcing the XLA attention path while TRACING.
+
+    The Pallas kernels are forward-only (no VJP): any code that
+    differentiates through the transformers (GML synthetic fitting,
+    recognition training) must trace the einsum path. The flag is read at
+    trace time, so wrapping the ``model.apply`` / ``value_and_grad`` call
+    inside a jitted function is sufficient — other call sites in the same
+    step (e.g. the frozen SFD2 augmentation forward) keep the fused kernels.
+    """
+
+    def __enter__(self):
+        global _FUSED_OVERRIDE
+        self._prev = _FUSED_OVERRIDE
+        _FUSED_OVERRIDE = False
+        return self
+
+    def __exit__(self, *exc):
+        global _FUSED_OVERRIDE
+        _FUSED_OVERRIDE = self._prev
+        return False
+
+
 def use_fused_attention(*token_counts: int) -> bool:
     """Fused Pallas attention is the default on TPU backends.
 
@@ -81,6 +107,8 @@ def use_fused_attention(*token_counts: int) -> bool:
     (> ops/attention_pallas.py:MAX_FUSED_TOKENS or with no 8-aligned query
     block), falling back to the XLA einsum path.
     """
+    if _FUSED_OVERRIDE is False:
+        return False
     if jax.default_backend() != "tpu":
         return False
     if token_counts:

@@ -27,11 +27,23 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ):
-    """Multi-host init (no-op single-host). Safe to call repeatedly."""
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
+    """Multi-host init (no-op single-host). Safe to call repeatedly.
+
+    Must run before anything initializes the XLA backend — so the
+    already-initialized check inspects jax's distributed client state
+    instead of calling jax.process_count() (which would itself initialize
+    the backend and make jax.distributed.initialize impossible; caught by
+    tests/test_multihost.py).
+    """
     if coordinator_address is None and num_processes in (None, 1):
         return
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized (by us or the runtime)
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -385,3 +385,90 @@ def test_aux_losses_match_reference_metrics(rng):
         max_value=20.0,
     ))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_superpoint_reference_parity(ref_nets, rng, monkeypatch):
+    """Direct parity vs the real nets/superpoint.py:99-240 (VERDICT r2 #7).
+
+    The reference constructor demands a weight file (superpoint.py:141-143);
+    load is bypassed so the module keeps its fresh random torch init —
+    exactly the recipe the other direct-parity tests use, minus the file.
+    Covers the dense forward (score/desc maps) and the extract_local_global
+    keypoint/descriptor sets.
+    """
+    import nets.superpoint as ref_sp
+
+    torch.manual_seed(17)
+    with monkeypatch.context() as mp:
+        mp.setattr(torch, "load", lambda *a, **k: {})
+        mp.setattr(
+            torch.nn.Module, "load_state_dict",
+            lambda self, sd, strict=True: None,
+        )
+        tmodel = ref_sp.SuperPoint(
+            {
+                "weight_path": "/nonexistent.pth",
+                "max_keypoints": 4096,
+                "min_keypoints": 0,
+            }
+        ).eval()
+
+    img = rng.rand(1, 1, 64, 80).astype(np.float32)
+    # nets/superpoint.py:91 picks grid_sample's align_corners by sniffing
+    # torch.__version__[2] — written for torch 1.x ('1.9.0'[2]='9' > 2 ->
+    # True); on this torch (2.13) it silently flips to the False default,
+    # diverging from its own coordinate math and from sfd2's explicit
+    # align_corners=True (nets/sfd2.py:61). Pin the intended branch.
+    with torch.no_grad(), monkeypatch.context() as mp:
+        mp.setattr(torch, "__version__", "1.9.0")
+        ref = tmodel.extract_local_global({"image": torch.from_numpy(img)})
+    k_ref = ref["keypoints"][0].numpy()  # [K, 2] (x, y)
+    s_ref = ref["scores"][0].numpy()
+    d_ref = ref["descriptors"][0].numpy().T  # [K, C]
+
+    from pram_tpu.models.convert import convert_superpoint
+    from pram_tpu.models.superpoint import SuperPoint, extract
+
+    model = SuperPoint()
+    variables = convert_superpoint(state_dict_np(tmodel))
+
+    # dense maps
+    out = model.apply(
+        variables, jnp.asarray(img.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["score_map"]), ref["score_map"].numpy(), atol=3e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["desc_map"]),
+        ref["desc_map"].numpy().transpose(0, 2, 3, 1),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["mid_features"]),
+        ref["mid_features"].numpy().transpose(0, 2, 3, 1),
+        atol=1e-4,
+    )
+
+    # extraction set-equality (dynamic reference output vs padded mine)
+    eout = extract(
+        model,
+        variables,
+        jnp.asarray(img.transpose(0, 2, 3, 1)),
+        max_keypoints=4096,
+        conf_th=0.001,
+        border=4,
+        min_keypoints=0,
+        nms_radius=3,
+    )
+    mask = np.asarray(eout["keypoints"].mask[0])
+    k_my = np.asarray(eout["keypoints"].xy[0])[mask]
+    s_my = np.asarray(eout["keypoints"].scores[0])[mask]
+    d_my = np.asarray(eout["descriptors"][0])[mask]
+
+    assert k_my.shape[0] == k_ref.shape[0]
+    order_ref = np.lexsort((k_ref[:, 0], k_ref[:, 1]))
+    order_my = np.lexsort((k_my[:, 0], k_my[:, 1]))
+    np.testing.assert_allclose(k_my[order_my], k_ref[order_ref], atol=1e-3)
+    np.testing.assert_allclose(s_my[order_my], s_ref[order_ref], atol=3e-4)
+    np.testing.assert_allclose(d_my[order_my], d_ref[order_ref], atol=2e-3)
