@@ -4,14 +4,28 @@ Measures query frames/sec through the full pipeline at 7Scenes scale:
 SFD2 extraction (480x640, bf16) -> SegNetViT nc113 recognition (512 tokens)
 -> candidate matching (GML, 9 layers; seg_k=1 = the reference candidate
 loop's common early-exit case, with the adaptive two-phase engine handling
-failures) -> batched PnP/RANSAC -> projection refinement. Weights are random (throughput is
-weight-independent); accuracy parity is covered by the synthetic end-to-end
-tests. Stages are jitted separately to bound compile time; the reported
-number is wall-clock over whole batches streamed through all stages.
+failures) -> batched PnP/RANSAC -> projection refinement.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N,
-   "recall_5cm5deg": R}
+   "runs": [...], "recall_5cm5deg_gml": R, "value_full_sweep": N,
+   "value_adaptive": N}
+
+- value: MEDIAN of 3 timed runs (relay-chip variance is real: round-2
+  measured 301 vs 360 for the same build); all runs are in "runs".
+- recall_5cm5deg_gml: rendered synthetic queries with known ground-truth
+  poses localized through the SAME compiled engine and the SAME GML
+  matcher (fused Pallas attention/Sinkhorn/MLP kernels) that produce the
+  fps number — the matcher weights are fitted to the synthetic scene by
+  scripts/train_synthetic_gml.py (weights/gml_synthetic.msgpack), so a
+  Mosaic lowering/numerics bug in any fused kernel surfaces here as a
+  recall drop (loc_by_rec_eval.py:272-279's first bucket).
+- value_full_sweep: the seg_k=10 worst case (every candidate landmark
+  matched + PnP-solved, reference multimap3d.py:114-239) so regressions in
+  the full sweep are tracked.
+- value_adaptive: the two-phase adaptive API (phase-2 behind an on-device
+  lax.cond) on the all-success workload — must stay within ~10% of the
+  plain step (VERDICT r2 #6).
 
 vs_baseline divides by 250 frames/sec/chip: BASELINE.json's north star is
 ">=2000 query frames/sec on v5e-8" — a POD target, i.e. 250/chip x 8-chip
@@ -20,19 +34,19 @@ per-chip reading (2000/chip) is physically impossible for this workload:
 SFD2 at 480x640 is ~125 GFLOP/frame dense-equivalent, so 2000 fps/chip
 would need ~250 TFLOP/s, above v5e's ~197 TFLOP/s bf16 peak, before the
 matcher/PnP stages spend a single FLOP.
-
-recall_5cm5deg guards accuracy in the same run: the same compiled engine
-localizes rendered synthetic queries (known ground-truth poses, NN matcher
-so random matcher weights don't mask engine regressions) and reports
-recall@(5cm,5deg) (loc_by_rec_eval.py:272-279's first bucket). A perf
-change that breaks the localization engine shows up here as a recall drop.
 """
 
+import dataclasses
 import json
 import os
 import time
 
 import numpy as np
+
+WEIGHTS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "weights",
+    "gml_synthetic.msgpack",
+)
 
 
 def main():
@@ -52,6 +66,7 @@ def main():
     from pram_tpu.engine.localizer import LocConfig, Localizer
     from pram_tpu.engine.matching import make_gml_match_fn
     from pram_tpu.geometry.camera import Camera
+    from pram_tpu.geometry.rotations import compute_pose_error
     from pram_tpu.maps.device import to_device
     from pram_tpu.maps.synthetic import make_synthetic_scene
     from pram_tpu.models.gml import GML, GMLConfig
@@ -65,7 +80,7 @@ def main():
     height, width = 480, 640
     n_class = 113
 
-    # ---- models (random weights)
+    # ---- models
     def cast_tree(t):
         return jax.tree_util.tree_map(
             lambda a: a.astype(compute_dtype)
@@ -83,14 +98,29 @@ def main():
     k0 = jnp.zeros((batch, n_kpts, 2), jnp.float32)
     rec_vars = cast_tree(rec.init(jax.random.PRNGKey(1), d0, k0))
 
+    # GML weights: fitted to the synthetic scene (train_synthetic_gml.py)
+    # so the recall guard below runs through the real matcher; throughput
+    # is weight-independent
     gml = GML(GMLConfig(use_pallas_sinkhorn=True))
-    gvars = cast_tree(gml.init(
+    gvars_rand = gml.init(
         jax.random.PRNGKey(2),
         jnp.zeros((1, 8, 128), jnp.float32),
         jnp.zeros((1, 8, 128), jnp.float32),
         jnp.zeros((1, 8, 2), jnp.float32),
         jnp.zeros((1, 8, 2), jnp.float32),
-    ))
+    )
+    if os.path.exists(WEIGHTS):
+        from flax import serialization
+
+        with open(WEIGHTS, "rb") as f:
+            params = serialization.from_bytes(
+                gvars_rand["params"], f.read()
+            )
+        gvars = cast_tree({"params": params})
+        gml_trained = True
+    else:
+        gvars = cast_tree(gvars_rand)
+        gml_trained = False
 
     # ---- synthetic 7Scenes-scale map (descriptor dim must match matcher).
     # Per-frame keypoint tables are capped at 1024 (the reference's VRF
@@ -110,16 +140,17 @@ def main():
 
     # seg_k=1 measures the steady-state cost: the reference's candidate loop
     # early-exits after the first landmark in the common case
-    # (multimap3d.py:234-239); the engine's adaptive two-phase API reruns the
-    # full sweep only for failed frames.
+    # (multimap3d.py:234-239); the adaptive two-phase engine reruns the full
+    # sweep only for failed frames (timed separately below).
     # gn_iters/lo_rounds: the bench opts into the shallow refinement
     # schedule explicitly (library default is the pycolmap-depth 8/2);
-    # recall@(5cm,5deg) is measured under the SAME schedule below
+    # recall is measured under the SAME schedule.
     cfg = LocConfig(
         seg_k=1, min_inliers=32, threshold=8.0, num_hypotheses=128,
         do_refinement=True, gn_iters=5, lo_rounds=1,
     )
-    loc = Localizer(dmap, make_gml_match_fn(gml, gvars), cfg)
+    match_fn = make_gml_match_fn(gml, gvars)
+    loc = Localizer(dmap, match_fn, cfg)
 
     # ---- stage 1+2: extraction + recognition (one jit)
     @jax.jit
@@ -162,25 +193,34 @@ def main():
     def pipeline(k, images):
         return loc._step(k, camera, *front(images))
 
+    def time_fps(fn, args_fn, iters):
+        res = None
+        t0 = time.perf_counter()
+        for i in range(iters):
+            res = fn(*args_fn(i))
+        jax.block_until_ready(jax.tree_util.tree_leaves(res)[0])
+        return batch * iters / (time.perf_counter() - t0)
+
     # warmup / compile
     res = pipeline(key, images)
     jax.block_until_ready(res.qvec)
 
     iters = 8
-    t0 = time.perf_counter()
-    for i in range(iters):
-        res = pipeline(jax.random.fold_in(key, i), images)
-    jax.block_until_ready(res.qvec)
-    dt = time.perf_counter() - t0
-    fps = batch * iters / dt
+    runs = [
+        round(
+            time_fps(
+                pipeline,
+                lambda i: (jax.random.fold_in(key, i), images),
+                iters,
+            ),
+            2,
+        )
+        for _ in range(3)
+    ]
+    fps = float(np.median(runs))
 
-    # ---- accuracy guard: localize rendered queries with known gt poses.
-    # NN matcher (descriptors ARE map descriptors + noise) so the random
-    # GML weights above don't zero out the signal; this exercises candidate
-    # routing, PnP/RANSAC and projection refinement end to end.
-    from pram_tpu.engine.matching import make_nn_match_fn
-    from pram_tpu.geometry.rotations import compute_pose_error
-
+    # ---- recall guard through the SAME GML path: rendered queries with
+    # known gt poses; matcher = the fitted GML through the fused kernels
     queries = [scene.render_query(rng, noise_px=0.3) for _ in range(batch)]
     q_kpts = jnp.asarray(np.stack([q["keypoints"] for q in queries]))
     q_descs = jnp.asarray(
@@ -194,10 +234,10 @@ def main():
         (batch, gt_seg.shape[1], scene.map.n_class), -10.0, np.float32
     )
     np.put_along_axis(logits, cls[..., None], 10.0, axis=2)
-    loc_nn = Localizer(dmap, make_nn_match_fn(), cfg)
-    res_acc = loc_nn.localize_batch(
+    logits_j = jnp.asarray(logits)
+    res_acc = loc.localize_batch(
         jax.random.PRNGKey(7), camera, q_kpts, q_scores, q_descs, q_mask,
-        jnp.asarray(logits),
+        logits_j,
     )
     q_err, t_err = compute_pose_error(
         res_acc.qvec,
@@ -212,6 +252,52 @@ def main():
     )
     recall = float(ok.mean())
 
+    # ---- full-sweep worst case (every seg_k=10 candidate matched+solved)
+    loc_k10 = Localizer(
+        dmap, match_fn, dataclasses.replace(cfg, seg_k=10)
+    )
+
+    @jax.jit
+    def pipeline_k10(k, images):
+        return loc_k10._step(k, camera, *front(images))
+
+    r10 = pipeline_k10(key, images)
+    jax.block_until_ready(r10.qvec)
+    fps_k10 = round(
+        time_fps(
+            pipeline_k10,
+            lambda i: (jax.random.fold_in(key, 100 + i), images),
+            4,
+        ),
+        2,
+    )
+
+    # ---- adaptive two-phase API on the all-success workload (on-device
+    # lax.cond phase 2): overhead vs the plain k1 step must stay small
+    acc_args = (camera, q_kpts, q_scores, q_descs, q_mask, logits_j)
+    r_ad = loc_k10.localize_batch_adaptive(jax.random.PRNGKey(7), *acc_args)
+    jax.block_until_ready(r_ad.qvec)
+    assert bool(np.all(np.asarray(r_ad.success))), "adaptive phase-1 failed"
+    fps_adaptive = round(
+        time_fps(
+            lambda k: loc_k10.localize_batch_adaptive(k, *acc_args),
+            lambda i: (jax.random.fold_in(key, 200 + i),),
+            8,
+        ),
+        2,
+    )
+    # the plain 1-candidate step on the same inputs, for the ratio
+    r_k1 = loc._step(jax.random.PRNGKey(7), *acc_args)
+    jax.block_until_ready(r_k1.qvec)
+    fps_k1_loc = round(
+        time_fps(
+            lambda k: loc._step(k, *acc_args),
+            lambda i: (jax.random.fold_in(key, 300 + i),),
+            8,
+        ),
+        2,
+    )
+
     print(
         json.dumps(
             {
@@ -219,7 +305,12 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 250.0, 4),
-                "recall_5cm5deg": round(recall, 4),
+                "runs": runs,
+                "recall_5cm5deg_gml": round(recall, 4),
+                "gml_trained_weights": gml_trained,
+                "value_full_sweep": fps_k10,
+                "value_adaptive": fps_adaptive,
+                "value_loc_only_k1": fps_k1_loc,
             }
         )
     )

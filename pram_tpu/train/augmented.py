@@ -94,9 +94,16 @@ def make_augmented_train_step(
         return loss, {"loss": loss, "acc_corr": corr, "acc_incorr": incorr}
 
     def step(state: TrainState, key, batch: Dict[str, jax.Array]):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, key, batch
-        )
+        from pram_tpu.models.common import fused_attention_disabled
+
+        # the recognition model sits on the diff path, so it must trace the
+        # XLA attention (Pallas kernels are forward-only); the frozen SFD2
+        # forward inside loss_fn carries no tangents (stop_gradient'ed
+        # params), so its fused stem/NMS kernels are untouched primal ops
+        with fused_attention_disabled():
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, key, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["lr"] = lr_schedule(cfg)(state.iteration)

@@ -1,0 +1,207 @@
+"""Recognition-training throughput benchmark (VERDICT r2 #4 / BASELINE #5).
+
+Measures the DP train step on the chip at the reference's operating point
+(configs/config_train_7scenes_sfd2.yaml:24,56-59): batch 32, 512 keypoint
+tokens, SegNetViT 15 layers / nc113, WITH the in-step frozen-SFD2
+augmentation forward at 480x640 (the reference's dominant training cost,
+trainer.py:96-130). Run with --scaling to measure the DP-scaling curve on
+the 8-device virtual CPU mesh instead (spawned subprocess; note: virtual
+CPU 'devices' share host cores, so the curve validates SPMD correctness
+and sharding overheads, not ICI bandwidth).
+
+Prints ONE JSON line per mode.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def run_chip():
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from pram_tpu.models.segnetvit import SegNetViT, SegNetViTConfig
+    from pram_tpu.models.sfd2 import ResNet4x
+    from pram_tpu.train.augmented import make_augmented_train_step
+    from pram_tpu.train.trainer import TrainConfig, init_train_state
+
+    rng = np.random.RandomState(0)
+    b, h, w, n = 32, 480, 640, 512
+    compute_dtype = jnp.bfloat16
+
+    extractor = ResNet4x()
+    imgs = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    evars = jax.tree_util.tree_map(
+        lambda a: a.astype(compute_dtype)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32
+        else a,
+        extractor.init(jax.random.PRNGKey(0), imgs[:1]),
+    )
+
+    cfg = TrainConfig(batch_size=b)
+    rec = SegNetViT(SegNetViTConfig(n_class=113))  # 15L / 256 hidden
+    batch = {
+        "image": imgs,
+        "keypoints": jnp.asarray(
+            (rng.rand(b, n, 2) * [w - 8, h - 8] + 4).astype(np.float32)
+        ),
+        "norm_keypoints": jnp.asarray(
+            (rng.rand(b, n, 2) * 2 - 1).astype(np.float32)
+        ),
+        "gt_seg": jnp.asarray(rng.randint(0, 113, (b, n))),
+        "mask": jnp.ones((b, n), bool),
+        "seg_descriptors": jnp.zeros((b, n, 256), jnp.float32),  # init only
+        "scores": jnp.ones((b, n), jnp.float32),
+    }
+    state = init_train_state(rec, cfg, batch)
+    step = make_augmented_train_step(rec, extractor, evars, cfg)
+
+    key = jax.random.PRNGKey(7)
+    t_c0 = time.perf_counter()
+    state, metrics = step(state, key, batch)
+    jax.block_until_ready(metrics["loss"])
+    compile_s = time.perf_counter() - t_c0
+
+    iters = 8
+    runs = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = step(
+                state, jax.random.fold_in(key, r * iters + i), batch
+            )
+        jax.block_until_ready(metrics["loss"])
+        runs.append(round(iters / (time.perf_counter() - t0), 3))
+    sps = float(np.median(runs))
+
+    # roofline context: the in-step frozen SFD2 dense forward dominates at
+    # ~125 GFLOP/frame (bf16); the SegNetViT fwd+bwd adds ~3x its ~8.6
+    # GFLOP/frame forward
+    flop_per_step = b * (125e9 + 3 * 8.6e9)
+    tflops = sps * flop_per_step / 1e12
+    print(
+        json.dumps(
+            {
+                "metric": "recognition_train_step",
+                "value": sps,
+                "unit": "steps/sec",
+                "runs": runs,
+                "frames_per_sec": round(sps * b, 1),
+                "achieved_tflops_est": round(tflops, 1),
+                "frac_of_v5e_peak": round(tflops / 197.0, 3),
+                "first_call_s": round(compile_s, 1),
+                "batch": b,
+                "tokens": n,
+                "with_augmentation": True,
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+def run_scaling():
+    """DP-scaling on the virtual CPU mesh (1/2/4/8 devices)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from pram_tpu.models.segnetvit import SegNetViT, SegNetViTConfig
+    from pram_tpu.train.trainer import (
+        TrainConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    rng = np.random.RandomState(0)
+    n = 512
+    per_dev_b = 4
+    results = {}
+    for nd in (1, 2, 4, 8):
+        b = per_dev_b * nd
+        devs = np.asarray(jax.devices()[:nd])
+        mesh = Mesh(devs, axis_names=("data",))
+        cfg = TrainConfig(batch_size=b)
+        rec = SegNetViT(SegNetViTConfig(n_class=113))
+        batch = {
+            "seg_descriptors": jnp.asarray(
+                rng.randn(b, n, 256).astype(np.float32)
+            ),
+            "norm_keypoints": jnp.asarray(
+                (rng.rand(b, n, 2) * 2 - 1).astype(np.float32)
+            ),
+            "gt_seg": jnp.asarray(rng.randint(0, 113, (b, n))),
+            "mask": jnp.ones((b, n), bool),
+        }
+        state = init_train_state(rec, cfg, batch)
+        step = make_train_step(rec, cfg, mesh=mesh)
+        state, metrics = step(state, batch)
+        jax.block_until_ready(metrics["loss"])
+        iters = 4
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, batch)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+        results[nd] = round(b * iters / dt, 2)  # global frames/sec
+    base = results[1]
+    print(
+        json.dumps(
+            {
+                "metric": "dp_scaling_virtual_mesh",
+                "unit": "global frames/sec (weak scaling, 4/device)",
+                "frames_per_sec": results,
+                "speedup_vs_1dev": {
+                    k: round(v / base, 2) for k, v in results.items()
+                },
+                "note": "virtual CPU devices share host cores: validates "
+                "SPMD partitioning + overheads, not ICI bandwidth",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--_worker", action="store_true")
+    args = ap.parse_args()
+    if args.scaling and not args._worker:
+        env = dict(os.environ)
+        env.pop("PYTHONPATH", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        sys.exit(
+            subprocess.call(
+                [sys.executable, os.path.abspath(__file__), "--scaling",
+                 "--_worker"],
+                cwd=REPO,
+                env=env,
+            )
+        )
+    if args.scaling:
+        run_scaling()
+    else:
+        run_chip()
