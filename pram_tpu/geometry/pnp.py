@@ -483,13 +483,37 @@ def ransac_pnp(
     tf = t_all.reshape(-1, 3)
     vf = valid.reshape(-1)
 
-    counts, _ = _count_inliers(
-        camera, Rf, tf, xyz[None], uv[None], mask[None], inlier_threshold
-    )
+    # hypothesis scoring: fused VMEM kernel on TPU (the XLA broadcast
+    # materializes [4K, N, 3] intermediates in HBM — ops/pnp_pallas.py)
+    from pram_tpu.ops.pnp_pallas import ransac_score_pallas, score_supported
+
+    if jax.default_backend() == "tpu" and score_supported(
+        Rf.shape[0], n
+    ):
+        counts = ransac_score_pallas(
+            camera.params, Rf, tf, xyz, uv, mask, inlier_threshold
+        )
+    else:
+        counts, _ = _count_inliers(
+            camera, Rf, tf, xyz[None], uv[None], mask[None],
+            inlier_threshold,
+        )
     counts = jnp.where(vf, counts, -1)
     best = jnp.argmax(counts)
     R_best = Rf[best]
     t_best = tf[best]
+
+    # LO + graduated polish: one fused kernel on TPU (the XLA chain below
+    # is ~20 GN iterations of tiny ops with HBM round trips between them)
+    if jax.default_backend() == "tpu":
+        from pram_tpu.ops.pnp_pallas import gn_polish_pallas
+
+        R_p, t_p, num_inl, inliers = gn_polish_pallas(
+            camera.params, R_best, t_best, xyz, uv, mask,
+            inlier_threshold, min_inliers,
+            gn_iters=gn_iters, lo_rounds=lo_rounds,
+        )
+        return PnPResult(R_p, t_p, num_inl, inliers, num_inl >= min_inliers)
 
     # local optimization: GN on current inliers, recount, repeat
     def lo_round(carry, _):

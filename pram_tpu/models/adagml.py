@@ -106,7 +106,9 @@ class _SelfAttnStats(nn.Module):
         h = self.num_heads
         hd = self.hidden_dim // h
 
-        if _common.use_fused_attention(n):
+        if _common.use_fused_attention(n) and _common._attn_vmem_ok(
+            n, n, self.hidden_dim, x.dtype.itemsize
+        ):
             # fused Pallas path: packed-qkv attention kernel emits the
             # per-key received-attention sums alongside the messages
             # (ops/attention_pallas.py; VERDICT r2 #2b)
@@ -209,7 +211,9 @@ class _CrossAttnStats(nn.Module):
         to_qk = nn.Dense(self.hidden_dim, name="to_qk")
         to_v = nn.Dense(self.hidden_dim, name="to_v")
 
-        if _common.use_fused_attention(n0, n1):
+        if _common.use_fused_attention(n0, n1) and _common._attn_vmem_ok(
+            n0, n1, self.hidden_dim, x0.dtype.itemsize
+        ):
             from pram_tpu.ops.attention_pallas import (
                 fused_cross_attention_packed,
             )

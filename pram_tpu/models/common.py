@@ -94,6 +94,12 @@ class fused_attention_disabled:
         return False
 
 
+def _attn_vmem_ok(n: int, m: int, d: int, itemsize: int) -> bool:
+    from pram_tpu.ops.attention_pallas import attention_vmem_ok
+
+    return attention_vmem_ok(n, m, d, itemsize)
+
+
 def use_fused_attention(*token_counts: int) -> bool:
     """Fused Pallas attention is the default on TPU backends.
 
@@ -213,7 +219,10 @@ class SelfAttentionBlock(nn.Module):
             bounds = list(zip(edges[:-1], edges[1:]))
 
         attn_sizes = splits if splits is not None else (n,)
-        if use_fused_attention(*attn_sizes):
+        if use_fused_attention(*attn_sizes) and _attn_vmem_ok(
+            max(attn_sizes), max(attn_sizes), self.hidden_dim,
+            x.dtype.itemsize,
+        ):
             from pram_tpu.ops.attention_pallas import (
                 fused_self_attention_qkv,
                 permute_qkv_kernel,
@@ -353,7 +362,9 @@ class CrossAttentionBlock(nn.Module):
         to_qk = nn.Dense(self.hidden_dim, name="to_qk")
         to_v = nn.Dense(self.hidden_dim, name="to_v")
 
-        if use_fused_attention(n0, n1):
+        if use_fused_attention(n0, n1) and _attn_vmem_ok(
+            n0, n1, self.hidden_dim, x0.dtype.itemsize
+        ):
             from pram_tpu.ops.attention_pallas import (
                 fused_cross_attention_packed,
             )

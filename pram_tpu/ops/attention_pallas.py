@@ -182,11 +182,35 @@ MAX_FUSED_TOKENS = 4096
 
 def _pick_qblock(n: int, m: int):
     """Largest query block dividing n whose [qblk, m] f32 logits tile stays
-    <= 4 MB; None when n has no 8-aligned divisor (caller falls back)."""
+    <= 2 MB (leaving VMEM headroom for the resident K/V and softmax temps at
+    4096 tokens); None when n has no 8-aligned divisor (caller falls back)."""
     for qb in (512, 256, 128, 64, 32, 16, 8):
-        if n % qb == 0 and qb * m * 4 <= (4 << 20):
+        if n % qb == 0 and qb * m * 4 <= (2 << 20):
             return qb
     return None
+
+
+def attention_vmem_ok(
+    n: int, m: int, d: int, itemsize: int, budget: int = 15 << 20
+) -> bool:
+    """Estimate whether the fused kernels' VMEM residents fit.
+
+    Accounts for the packed qkv (or qk+v) block in the ACTIVATION dtype —
+    f32 activations double the resident K/V and made the 4096-token
+    SegNetViT tile OOM scoped VMEM on hardware; callers fall back to XLA
+    (or cast to bf16) when this returns False.
+    """
+    nm = max(n, m)
+    if nm <= _SINGLE_TILE_MAX:
+        logits = n * m * 4 * 3  # logits + exp + attn temps
+        resident = 3 * nm * d * itemsize + 2 * nm * 4 * (d // 4)
+        return resident + logits <= budget
+    qb = _pick_qblock(nm, nm)
+    if qb is None:
+        return False
+    resident = 3 * nm * d * itemsize + 2 * nm * 4 * 64
+    logits = qb * nm * 4 * 3
+    return resident + logits <= budget
 
 
 def fused_attention_supported(*token_counts) -> bool:

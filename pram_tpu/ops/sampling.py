@@ -93,6 +93,12 @@ def sample_descriptors(
     desc = grid_sample_nchw(desc_map, jnp.stack([fx, fy], axis=-1))  # [C, N]
     desc = desc.T  # [N, C]
     if normalize:
-        norm = jnp.sqrt(jnp.sum(desc * desc, axis=-1, keepdims=True))
-        desc = desc / jnp.maximum(norm, eps)
-    return desc
+        # normalize in f32 regardless of the map dtype (bf16 norms lose ~1%)
+        d32 = desc.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(d32 * d32, axis=-1, keepdims=True))
+        desc = (d32 / jnp.maximum(norm, eps)).astype(desc.dtype)
+    # keep the feature map's dtype: the bilinear weights are f32 (pixel
+    # coords) and would otherwise silently promote a bf16 activation path
+    # to f32 — at 4096 tokens that doubled the fused-attention VMEM
+    # footprint downstream and OOM'd on hardware
+    return desc.astype(desc_map.dtype)

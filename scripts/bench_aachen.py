@@ -13,9 +13,14 @@ Prints ONE JSON line with fps and per-device HBM, for ROUND_NOTES.
 import dataclasses
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def main():

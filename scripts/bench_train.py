@@ -133,7 +133,9 @@ def run_scaling():
     )
 
     rng = np.random.RandomState(0)
-    n = 512
+    # scaled-down model for the CPU mesh (the curve validates SPMD
+    # partitioning/overheads; the chip bench above carries the real speed)
+    n = 256
     per_dev_b = 4
     results = {}
     for nd in (1, 2, 4, 8):
@@ -141,7 +143,7 @@ def run_scaling():
         devs = np.asarray(jax.devices()[:nd])
         mesh = Mesh(devs, axis_names=("data",))
         cfg = TrainConfig(batch_size=b)
-        rec = SegNetViT(SegNetViTConfig(n_class=113))
+        rec = SegNetViT(SegNetViTConfig(n_class=113, n_layers=5))
         batch = {
             "seg_descriptors": jnp.asarray(
                 rng.randn(b, n, 256).astype(np.float32)
@@ -156,7 +158,7 @@ def run_scaling():
         step = make_train_step(rec, cfg, mesh=mesh)
         state, metrics = step(state, batch)
         jax.block_until_ready(metrics["loss"])
-        iters = 4
+        iters = 2
         t0 = time.perf_counter()
         for _ in range(iters):
             state, metrics = step(state, batch)
