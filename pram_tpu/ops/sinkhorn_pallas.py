@@ -55,19 +55,9 @@ def _sinkhorn_kernel(num_iters, sim_ref, dustbin_ref, r_ref, c_ref, out_ref,
 
     def body(_, uv):
         u, v = uv
-        # u/v updates as MXU matvecs: the elementwise-multiply-and-reduce
-        # formulation is ~2k VPU ops per pass over the [N+1, M+1] plan,
-        # which dominated the kernel; the systolic array does the same
-        # contraction in a few microseconds
-        pv = jax.lax.dot_general(
-            p_ref[:, :], v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [N+1, 1]
+        pv = jnp.sum(p_ref[:, :] * v, axis=1, keepdims=True)  # [N+1, 1]
         u = r / (pv + _EPS)
-        pu = jax.lax.dot_general(
-            u, p_ref[:, :], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [1, M+1]
+        pu = jnp.sum(p_ref[:, :] * u, axis=0, keepdims=True)  # [1, M+1]
         v = c / (pu + _EPS)
         return u, v
 

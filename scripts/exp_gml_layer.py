@@ -56,7 +56,7 @@ def main():
 
     # 1. the qkv projection alone (XLA matmul)
     projj = jax.jit(lambda x: x @ qkv_w)
-    print(f"qkv proj [1536x256x768]: {timeit(projj, x):7.3f} ms/b{b}")
+    print(f"qkv proj [1536x256x768]: {timeit(projj, x):7.3f} ms/b{b}", flush=True)
 
     # 2. self-attention kernel alone (both sides, as GML calls it)
     def attn(qkv):
@@ -69,7 +69,7 @@ def main():
         return m0, m1
 
     attnj = jax.jit(attn)
-    print(f"self-attn kernels      : {timeit(attnj, qkv):7.3f} ms/b{b}")
+    print(f"self-attn kernels      : {timeit(attnj, qkv):7.3f} ms/b{b}", flush=True)
 
     # 3. cross-attention kernel alone
     qk = jnp.asarray(rng.rand(b, nt, d), dt)
@@ -80,7 +80,7 @@ def main():
             bias[:, :n0], bias[:, n0:], scale, 4,
         )
     )
-    print(f"cross-attn kernel      : {timeit(crossj, qk, v):7.3f} ms/b{b}")
+    print(f"cross-attn kernel      : {timeit(crossj, qk, v):7.3f} ms/b{b}", flush=True)
 
     # 4. residual-MLP kernel alone
     msg = jnp.asarray(rng.rand(b, nt, d), dt)
@@ -95,7 +95,7 @@ def main():
     mlpj = jax.jit(
         lambda x, m: fused_residual_mlp(x, m, wp, bp, w0, b0, g, be, w3, b3)
     )
-    print(f"residual-MLP kernel    : {timeit(mlpj, x, msg):7.3f} ms/b{b}")
+    print(f"residual-MLP kernel    : {timeit(mlpj, x, msg):7.3f} ms/b{b}", flush=True)
 
     # 5. XLA equivalent of the residual MLP (for comparison)
     def mlp_xla(x, m):
@@ -110,7 +110,7 @@ def main():
         return x + ((z @ w3.astype(dt)) + b3.astype(dt))
 
     mlpxj = jax.jit(mlp_xla)
-    print(f"residual-MLP XLA       : {timeit(mlpxj, x, msg):7.3f} ms/b{b}")
+    print(f"residual-MLP XLA       : {timeit(mlpxj, x, msg):7.3f} ms/b{b}", flush=True)
 
     # 6. sinkhorn A/B
     from pram_tpu.ops.sinkhorn_pallas import sinkhorn_matching_pallas
@@ -122,7 +122,7 @@ def main():
     skj = jax.jit(
         lambda s: sinkhorn_matching_pallas(s, dustbin, 20, m0, m1)
     )
-    print(f"sinkhorn (current)     : {timeit(skj, sim):7.3f} ms/b{b}")
+    print(f"sinkhorn (current)     : {timeit(skj, sim):7.3f} ms/b{b}", flush=True)
 
 
 if __name__ == "__main__":
