@@ -247,6 +247,18 @@ class SelfAttentionBlock(nn.Module):
 
             if bounds is None:
                 msg = attend(qkv, cos, sin, mask, n).astype(x.dtype)
+            elif all(hi - lo <= 1024 for lo, hi in bounds):
+                # both sides in ONE kernel program (block-diagonal
+                # attention): halves the per-program overhead that
+                # dominates these small-tile kernels
+                from pram_tpu.ops.attention_pallas import (
+                    fused_self_attention_qkv_blocked,
+                )
+
+                msg = fused_self_attention_qkv_blocked(
+                    qkv, cos, sin, mask_to_bias(mask, b, n), scale, h,
+                    splits,
+                ).astype(x.dtype)
             else:
                 msg = jnp.concatenate(
                     [

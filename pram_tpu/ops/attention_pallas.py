@@ -116,6 +116,89 @@ def _qkv_kernel(qkv_ref, cos_ref, sin_ref, bias_ref, o_ref, *rest,
         rest[0][0] = stat_total
 
 
+def _qkv_blocked_kernel(qkv_ref, cos_ref, sin_ref, bias_ref, o_ref,
+                        *, scale, heads, hd, rotary, splits):
+    """Block-diagonal self-attention over a token concatenation.
+
+    GML runs self-attention on each side of the (512, 1024) token stream
+    with shared weights; doing both sides in ONE program halves the
+    per-program overheads (pipeline fills, rotary/softmax VPU setup) that
+    dominate these small-tile kernels.
+    """
+    d = heads * hd
+    n_total = bias_ref.shape[-1]
+    bias = bias_ref[0]  # [1, N]
+    edges = [0]
+    for s in splits:
+        edges.append(edges[-1] + s)
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        if rotary:
+            cos = cos_ref[0, lo:hi, :]
+            sin = sin_ref[0, lo:hi, :]
+        if lo == 0:
+            bias_b = bias[:, :hi]
+        else:
+            # Mosaic can't broadcast a lane-offset slice against the logits
+            # tile; rotate the block to lane 0 first
+            bias_b = pltpu.roll(bias, n_total - lo, 1)[:, : hi - lo]
+        for h in range(heads):
+            q = qkv_ref[0, lo:hi, h * hd : (h + 1) * hd]
+            k = qkv_ref[0, lo:hi, d + h * hd : d + (h + 1) * hd]
+            v = qkv_ref[0, lo:hi, 2 * d + h * hd : 2 * d + (h + 1) * hd]
+            if rotary:
+                qf = q.astype(jnp.float32)
+                kf = k.astype(jnp.float32)
+                q = (qf * cos + _rotate_half_lanes(q) * sin).astype(q.dtype)
+                k = (kf * cos + _rotate_half_lanes(k) * sin).astype(k.dtype)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + bias_b
+            logits -= jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits)
+            attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+            o_ref[0, lo:hi, h * hd : (h + 1) * hd] = jnp.dot(
+                attn, v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+
+def fused_self_attention_qkv_blocked(
+    qkv, cos, sin, key_bias, scale, heads, splits, *, interpret=False
+):
+    """Blocked-sides variant of :func:`fused_self_attention_qkv`.
+
+    ``splits``: sizes of the independent attention blocks along the token
+    axis (their sum = N). Each block must fit a single logits tile.
+    """
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // heads
+    rotary = cos is not None
+    if not rotary:
+        cos = jnp.zeros((b, n, hd), qkv.dtype)
+        sin = cos
+    bias = key_bias[:, None, :].astype(jnp.float32)
+    return pl.pallas_call(
+        partial(_qkv_blocked_kernel, scale=scale, heads=heads, hd=hd,
+                rotary=rotary, splits=tuple(splits)),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, d3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+        interpret=interpret,
+    )(qkv, cos.astype(jnp.float32), sin.astype(jnp.float32), bias)
+
+
 def _qkv_tiled_kernel(qkv_ref, cos_ref, sin_ref, bias_ref, o_ref, *rest,
                       scale, heads, hd, rotary, qblk, with_stats=False):
     """Query-row-tiled variant: grid (batch, N // qblk). K/V (and the full

@@ -93,9 +93,15 @@ def fused_residual_mlp(
     dh = w0.shape[-1]
     f32 = jnp.float32
     w0x, w0m = w0[:d], w0[d:]
-    # tile the token axis (LayerNorm is per-token) so the f32 hidden stays
-    # small in VMEM even for long concatenated streams / f32 traces
-    nt = 512 if n % 512 == 0 else n
+    # tile the token axis (LayerNorm is per-token). Prefer the LARGEST tile
+    # whose f32 hidden stays VMEM-friendly: per-program overhead (pipeline
+    # fill of 3 small matmuls + LN/gelu) dominated at 512-token tiles
+    # (measured ~3x the MXU ideal at GML's 1536-token stream with 96
+    # programs per call) — fewer, bigger programs amortize it.
+    if n * dh * 4 <= (8 << 20):
+        nt = n  # whole stream in one program per batch element
+    else:
+        nt = 512 if n % 512 == 0 else n
 
     def spec(*shape):
         nd = len(shape)

@@ -287,3 +287,32 @@ def test_fused_attention_size_gate():
     assert fused_attention_supported(2048, 2048)
     assert not fused_attention_supported(8192)  # beyond MAX_FUSED_TOKENS
     assert not fused_attention_supported(1025 * 3)  # no 8-aligned block
+
+
+def test_blocked_self_attention_matches(rng, monkeypatch):
+    """Block-diagonal (GML splits) kernel == per-side kernels == XLA path."""
+    import pram_tpu.ops.attention_pallas as ap
+
+    _interp(monkeypatch)
+    orig_blocked = ap.fused_self_attention_qkv_blocked
+    monkeypatch.setattr(
+        ap, "fused_self_attention_qkv_blocked",
+        lambda *a, **kw: orig_blocked(*a, interpret=True, **kw),
+    )
+
+    b, n0, n1, d = 2, 16, 24, 32
+    x = jnp.asarray(rng.randn(b, n0 + n1, d).astype(np.float32))
+    mask = jnp.asarray(rng.rand(b, n0 + n1) > 0.3)
+    kxy = jnp.asarray(rng.rand(b, n0 + n1, 2).astype(np.float32))
+
+    pe = LearnableFourierPE(f_dim=d // 4)
+    pvars = pe.init(jax.random.PRNGKey(2), kxy)
+    enc = pe.apply(pvars, kxy)
+
+    sa = SelfAttentionBlock(feat_dim=d, hidden_dim=d, num_heads=4)
+    variables = sa.init(jax.random.PRNGKey(0), x, enc, mask)
+    fused = sa.apply(variables, x, enc, mask, splits=(n0, n1))
+    monkeypatch.setattr(common, "use_fused_attention", lambda *a: False)
+    ref = sa.apply(variables, x, enc, mask, splits=(n0, n1))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
