@@ -33,6 +33,12 @@ def main(argv=None):
     ap.add_argument("--max_keypoints", type=int, default=1024)
     ap.add_argument("--save_vis", default=None)
     ap.add_argument("--no_tracking", action="store_true")
+    ap.add_argument(
+        "--viewer_port", type=int, default=None,
+        help="serve the interactive 3D viewer (pram_tpu/viz) on this port "
+        "(0 = ephemeral); the browser replacement for the reference's "
+        "pangolin window (localization/viewer.py)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -100,6 +106,13 @@ def main(argv=None):
     localizer = Localizer(dmap, match_fn, cfg.localization)
     tracker = Tracker(dmap, match_fn, cfg.localization)
 
+    viewer = None
+    if args.viewer_port is not None:
+        from pram_tpu.viz import ViewerServer
+
+        viewer = ViewerServer(pmap, port=args.viewer_port)
+        print(f"viewer: http://localhost:{viewer.port}/")
+
     queries = parse_image_list_with_intrinsics(args.queries)
     key = jax.random.PRNGKey(0)
     times = {"feat": [], "rec": [], "loc": [], "total": []}
@@ -165,6 +178,24 @@ def main(argv=None):
         times["rec"].append(t2 - t1)
         times["loc"].append(t3 - t2)
         times["total"].append(t3 - t0)
+        if viewer is not None:
+            from pram_tpu.geometry.rotations import qvec2rotmat
+
+            viewer.update(
+                R=np.asarray(qvec2rotmat(jnp.asarray(res.qvec))),
+                tvec=np.asarray(res.tvec),
+                success=bool(res.success),
+                tracking=bool(not args.no_tracking and not tracker.lost),
+                matched_sid=int(getattr(res, "matched_sid", -1))
+                if not np.isscalar(getattr(res, "matched_sid", -1))
+                else int(getattr(res, "matched_sid", -1)),
+                num_inliers=int(res.num_inliers),
+                times={
+                    "feat": t1 - t0, "rec": t2 - t1, "loc": t3 - t2,
+                    "total": t3 - t0,
+                },
+                name=qname,
+            )
         print(
             f"[{qi+1}/{len(queries)}] {qname}: "
             f"{'ok' if res.success else 'FAIL'} inliers={res.num_inliers} "
