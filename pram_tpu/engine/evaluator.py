@@ -100,6 +100,7 @@ def evaluate_queries(
     log_interval: int = 10,
     pipeline_depth: int = 2,
     prefetch: int = 2,
+    method: str = "plain",
 ) -> EvalReport:
     """Run the engine over batched queries and tally recall.
 
@@ -113,6 +114,10 @@ def evaluate_queries(
     Each batch dict: camera_params [B,8], camera_size [B,2], keypoints
     [B,N,2], scores [B,N], descriptors [B,N,D], mask [B,N], seg_logits
     [B,N,C], gt_qvec [B,4], gt_tvec [B,3], names (list, optional).
+
+    ``method``: "plain" (localize_batch), "adaptive" (two-phase early exit
+    behind an on-device lax.cond — pipelining-safe, same streaming
+    throughput as the plain step) or "auto_refine".
     """
     import collections
     import queue as _queue
@@ -193,9 +198,16 @@ def evaluate_queries(
                 )
             )
 
+    attr = {
+        "plain": "localize_batch",
+        "adaptive": "localize_batch_adaptive",
+        "auto_refine": "localize_batch_auto_refine",
+    }[method]
+    dispatch = getattr(localizer, attr)
+
     for bidx, batch in enumerate(source):
         key, sub = jax.random.split(key)
-        res = localizer.localize_batch(
+        res = dispatch(
             sub,
             Camera(jnp.asarray(batch["camera_params"]),
                    jnp.asarray(batch["camera_size"])),

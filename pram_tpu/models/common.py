@@ -232,7 +232,6 @@ class SelfAttentionBlock(nn.Module):
                 self.hidden_dim * 3, name="qkv"
             )(x.shape[-1])
             wp, bp = permute_qkv_kernel(kernel, kbias, h, hd)
-            qkv = (x @ wp.astype(x.dtype)) + bp.astype(x.dtype)
             if encoding is not None:
                 cos, sin = encoding  # [B, 1, N, hd]
                 cos, sin = cos[:, 0], sin[:, 0]
@@ -245,21 +244,22 @@ class SelfAttentionBlock(nn.Module):
                     scale, h,
                 )
 
-            if bounds is None:
-                msg = attend(qkv, cos, sin, mask, n).astype(x.dtype)
-            elif all(hi - lo <= 1024 for lo, hi in bounds):
-                # both sides in ONE kernel program (block-diagonal
-                # attention): halves the per-program overhead that
-                # dominates these small-tile kernels
+            if max(attn_sizes) <= 1024:
+                # one kernel program per frame: in-kernel qkv projection +
+                # (block-diagonal) attention — no XLA matmul boundary
                 from pram_tpu.ops.attention_pallas import (
-                    fused_self_attention_qkv_blocked,
+                    fused_self_attention_proj,
                 )
 
-                msg = fused_self_attention_qkv_blocked(
-                    qkv, cos, sin, mask_to_bias(mask, b, n), scale, h,
-                    splits,
+                msg = fused_self_attention_proj(
+                    x, wp, bp, cos, sin, mask_to_bias(mask, b, n),
+                    scale, h, splits=attn_sizes,
                 ).astype(x.dtype)
+            elif bounds is None:
+                qkv = (x @ wp.astype(x.dtype)) + bp.astype(x.dtype)
+                msg = attend(qkv, cos, sin, mask, n).astype(x.dtype)
             else:
+                qkv = (x @ wp.astype(x.dtype)) + bp.astype(x.dtype)
                 msg = jnp.concatenate(
                     [
                         attend(
@@ -371,29 +371,45 @@ class CrossAttentionBlock(nn.Module):
         hd = self.hidden_dim // h
         scale = hd**-0.5
 
-        to_qk = nn.Dense(self.hidden_dim, name="to_qk")
-        to_v = nn.Dense(self.hidden_dim, name="to_v")
-
         if use_fused_attention(n0, n1) and _attn_vmem_ok(
             n0, n1, self.hidden_dim, x0.dtype.itemsize
         ):
-            from pram_tpu.ops.attention_pallas import (
-                fused_cross_attention_packed,
-            )
-
-            # one projection matmul over the token concatenation (both
-            # sides share weights), sliced for the attention kernel
             cat = jnp.concatenate([x0, x1], axis=1)
-            qk = to_qk(cat)
-            v = to_v(cat)
-            m0, m1 = fused_cross_attention_packed(
-                qk[:, :n0], qk[:, n0:], v[:, :n0], v[:, n0:],
-                mask_to_bias(mask0, b, n0), mask_to_bias(mask1, b, n1),
-                scale, h,
-            )
+            if max(n0, n1) <= 1024:
+                # in-kernel to_qk/to_v projections + symmetric cross
+                # attention in one program per frame
+                from pram_tpu.ops.attention_pallas import (
+                    fused_cross_attention_proj,
+                )
+
+                wqk, bqk = _DenseParams(self.hidden_dim, name="to_qk")(
+                    cat.shape[-1]
+                )
+                wv, bv = _DenseParams(self.hidden_dim, name="to_v")(
+                    cat.shape[-1]
+                )
+                m_cat = fused_cross_attention_proj(
+                    cat, wqk, bqk, wv, bv,
+                    mask_to_bias(mask0, b, n0), mask_to_bias(mask1, b, n1),
+                    scale, h, n0,
+                ).astype(x0.dtype)
+            else:
+                from pram_tpu.ops.attention_pallas import (
+                    fused_cross_attention_packed,
+                )
+
+                # one projection matmul over the token concatenation (both
+                # sides share weights), sliced for the attention kernel
+                qk = nn.Dense(self.hidden_dim, name="to_qk")(cat)
+                v = nn.Dense(self.hidden_dim, name="to_v")(cat)
+                m0, m1 = fused_cross_attention_packed(
+                    qk[:, :n0], qk[:, n0:], v[:, :n0], v[:, n0:],
+                    mask_to_bias(mask0, b, n0), mask_to_bias(mask1, b, n1),
+                    scale, h,
+                )
+                m_cat = jnp.concatenate([m0, m1], axis=1).astype(x0.dtype)
             from pram_tpu.ops.mlp_pallas import fused_residual_mlp
 
-            m_cat = jnp.concatenate([m0, m1], axis=1).astype(x0.dtype)
             wp_, bp_ = _DenseParams(self.hidden_dim, name="proj")(
                 self.hidden_dim
             )
@@ -411,6 +427,8 @@ class CrossAttentionBlock(nn.Module):
                 return out, None
             return out[:, :n0], out[:, n0:]
         else:
+            to_qk = nn.Dense(self.hidden_dim, name="to_qk")
+            to_v = nn.Dense(self.hidden_dim, name="to_v")
             proj = nn.Dense(self.hidden_dim, name="proj")
             mlp_0 = nn.Dense(self.feat_dim * 2, name="mlp_0")
             mlp_ln = nn.LayerNorm(name="mlp_ln")

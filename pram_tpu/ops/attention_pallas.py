@@ -199,30 +199,27 @@ def fused_self_attention_qkv_blocked(
     )(qkv, cos.astype(jnp.float32), sin.astype(jnp.float32), bias)
 
 
-def _qkv_tiled_kernel(qkv_ref, cos_ref, sin_ref, bias_ref, o_ref, *rest,
+def _qkv_tiled_kernel(qkv_ref, cos_ref, sin_ref, bias_ref, bcol_ref,
+                      o_ref, *rest,
                       scale, heads, hd, rotary, qblk, with_stats=False):
-    """Query-row-tiled variant: grid (batch, N // qblk). K/V (and the full
-    rotary tables) stay VMEM-resident; each step computes a [qblk, N] logits
-    block — no streaming-softmax rescaling needed. Stats accumulate across
-    the query-block grid axis (sequential on TPU)."""
+    """Query-row-tiled variant: grid (batch, N // qblk). K/V stay fully
+    VMEM-resident with K PRE-ROTATED by the dispatcher (an XLA elementwise
+    pass), so only the current block's rotary tables live in VMEM; each
+    step computes a [qblk, N] logits block — no streaming-softmax rescaling
+    needed. Stats accumulate across the sequential query-block grid axis."""
     j = pl.program_id(1)
     d = heads * hd
     bias = bias_ref[0]  # [1, N] f32
-    qstart = j * qblk
     stat_total = None
     for h in range(heads):
-        q = qkv_ref[0, pl.dslice(qstart, qblk), h * hd : (h + 1) * hd]
-        k = qkv_ref[0, :, d + h * hd : d + (h + 1) * hd]
+        q = qkv_ref[0, pl.dslice(j * qblk, qblk), h * hd : (h + 1) * hd]
+        k = qkv_ref[0, :, d + h * hd : d + (h + 1) * hd]  # pre-rotated
         v = qkv_ref[0, :, 2 * d + h * hd : 2 * d + (h + 1) * hd]
         if rotary:
-            cos_k = cos_ref[0]  # [N, hd]
-            sin_k = sin_ref[0]
-            cos_q = cos_ref[0, pl.dslice(qstart, qblk), :]
-            sin_q = sin_ref[0, pl.dslice(qstart, qblk), :]
+            cos_q = cos_ref[0]  # [qblk, hd] (block-sliced by spec)
+            sin_q = sin_ref[0]
             qf = q.astype(jnp.float32)
-            kf = k.astype(jnp.float32)
             q = (qf * cos_q + _rotate_half_lanes(q) * sin_q).astype(q.dtype)
-            k = (kf * cos_k + _rotate_half_lanes(k) * sin_k).astype(k.dtype)
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -235,13 +232,9 @@ def _qkv_tiled_kernel(qkv_ref, cos_ref, sin_ref, bias_ref, o_ref, *rest,
             attn, v, preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
         if with_stats:
-            qv = (
-                jax.lax.dynamic_slice(bias, (0, qstart), (1, qblk)) > -0.5
-            ).astype(jnp.float32)  # [1, qblk] validity of THIS block's rows
-            s = jax.lax.dot_general(
-                qv, attn32, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [1, N]
+            # row validity of THIS block via the block-sliced bias column
+            qv = (bcol_ref[0] > -0.5).astype(jnp.float32)  # [qblk, 1]
+            s = jnp.sum(attn32 * qv, axis=0, keepdims=True)  # [1, N]
             stat_total = s if stat_total is None else stat_total + s
     if with_stats:
         stat_ref = rest[0]
@@ -267,8 +260,9 @@ def _pick_qblock(n: int, m: int):
     """Largest query block dividing n whose [qblk, m] f32 logits tile stays
     <= 2 MB (leaving VMEM headroom for the resident K/V and softmax temps at
     4096 tokens); None when n has no 8-aligned divisor (caller falls back)."""
+    limit = (1 << 20) if m > 2048 else (2 << 20)
     for qb in (512, 256, 128, 64, 32, 16, 8):
-        if n % qb == 0 and qb * m * 4 <= (2 << 20):
+        if n % qb == 0 and qb * m * 4 <= limit:
             return qb
     return None
 
@@ -374,6 +368,29 @@ def fused_self_attention_qkv(
                 f"fused self-attention unsupported for N={n}; gate with "
                 "fused_attention_supported()"
             )
+        if rotary:
+            # pre-rotate K with one XLA elementwise pass so the kernel only
+            # keeps the current block's rotary tables in VMEM (full-table
+            # residents pushed the 4096-token tile over scoped VMEM)
+            d_ = d
+            hd_ = hd
+            kcols = qkv[:, :, d_ : 2 * d_].astype(jnp.float32)
+            kh = kcols.reshape(b, n, heads, hd_)
+            kp = kh.reshape(b, n, heads, hd_ // 2, 2)
+            krot = jnp.stack([-kp[..., 1], kp[..., 0]], axis=-1).reshape(
+                b, n, heads, hd_
+            )
+            kr = kh * cos.astype(jnp.float32)[:, :, None, :] + krot * (
+                sin.astype(jnp.float32)[:, :, None, :]
+            )
+            qkv = jnp.concatenate(
+                [
+                    qkv[:, :, :d_],
+                    kr.reshape(b, n, d_).astype(qkv.dtype),
+                    qkv[:, :, 2 * d_ :],
+                ],
+                axis=-1,
+            )
         out_specs = [
             pl.BlockSpec((1, qblk, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)
@@ -390,17 +407,20 @@ def fused_self_attention_qkv(
             in_specs=[
                 pl.BlockSpec((1, n, d3), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n, hd), lambda i, j: (i, 0, 0),
+                pl.BlockSpec((1, qblk, hd), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n, hd), lambda i, j: (i, 0, 0),
+                pl.BlockSpec((1, qblk, hd), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, qblk, 1), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=out_specs if return_stats else out_specs[0],
             out_shape=out_shape if return_stats else out_shape[0],
             interpret=interpret,
-        )(qkv, cos.astype(jnp.float32), sin.astype(jnp.float32), bias)
+        )(qkv, cos.astype(jnp.float32), sin.astype(jnp.float32), bias,
+          bias[:, 0, :, None])
 
     if return_stats:
         msg, stat = out
@@ -474,7 +494,8 @@ def _cross_packed_kernel(
 
 
 def _cross_dir_kernel(
-    qkq_ref, qkk_ref, v_ref, bq_ref, bk_ref, msg_ref, stat_ref,
+    qkq_ref, qkk_ref, v_ref, bq_ref, bqcol_ref, bk_ref, msg_ref,
+    stat_ref,
     *, scale, heads, hd, qblk,
 ):
     """One direction of cross attention, tiled over query rows.
@@ -503,12 +524,9 @@ def _cross_dir_kernel(
             attn.astype(v.dtype), v, preferred_element_type=jnp.float32
         ).astype(msg_ref.dtype)
         qv = (
-            jax.lax.dynamic_slice(bias_q, (0, qstart), (1, qblk)) > -0.5
-        ).astype(jnp.float32)
-        st = jax.lax.dot_general(
-            qv, attn, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [1, M]
+            bqcol_ref[0, pl.dslice(qstart, qblk), 0:1] > -0.5
+        ).astype(jnp.float32)  # [qblk, 1]
+        st = jnp.sum(attn * qv, axis=0, keepdims=True)  # [1, M]
         stat_total = st if stat_total is None else stat_total + st
 
     @pl.when(j == 0)
@@ -548,7 +566,7 @@ def _cross_attention_dir(
         grid=(b, nq // qblk),
         in_specs=[
             const_spec(nq, d), const_spec(m, d), const_spec(m, d),
-            const_spec(1, nq), const_spec(1, m),
+            const_spec(1, nq), const_spec(nq, 1), const_spec(1, m),
         ],
         out_specs=(
             pl.BlockSpec((1, qblk, d), lambda i, j: (i, j, 0),
@@ -560,7 +578,7 @@ def _cross_attention_dir(
             jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
         ),
         interpret=interpret,
-    )(qk_q, qk_k, v_k, bq, bk)
+    )(qk_q, qk_k, v_k, bq, bq[:, 0, :, None], bk)
     return msg, stat[:, 0, :]
 
 
@@ -631,3 +649,199 @@ def fused_cross_attention_packed(
     if return_stats:
         return m0, m1, stat0, stat1
     return m0, m1
+
+
+# ---------------------------------------------------------------------------
+# projection-fused variants: the qkv / to_qk / to_v matmuls run in-kernel
+# (weights VMEM-resident), removing the XLA matmul boundaries inside a
+# transformer layer — per layer only the attention and MLP kernels remain.
+# ---------------------------------------------------------------------------
+
+
+def _self_proj_kernel(x_ref, w_ref, b_ref, cos_ref, sin_ref, bias_ref,
+                      o_ref, qkv_scratch, *, scale, heads, hd, rotary,
+                      splits):
+    """x [1, N, Din] -> (in-kernel qkv projection) -> blocked attention."""
+    d = heads * hd
+    n_total = bias_ref.shape[-1]
+    x = x_ref[0]
+    qkv_scratch[...] = (
+        jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...]
+    ).astype(qkv_scratch.dtype)
+    bias = bias_ref[0]  # [1, N]
+    edges = [0]
+    for s in splits:
+        edges.append(edges[-1] + s)
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        if rotary:
+            cos = cos_ref[0, lo:hi, :]
+            sin = sin_ref[0, lo:hi, :]
+        if lo == 0:
+            bias_b = bias[:, :hi]
+        else:
+            bias_b = pltpu.roll(bias, n_total - lo, 1)[:, : hi - lo]
+        for h in range(heads):
+            q = qkv_scratch[lo:hi, h * hd : (h + 1) * hd]
+            k = qkv_scratch[lo:hi, d + h * hd : d + (h + 1) * hd]
+            v = qkv_scratch[lo:hi, 2 * d + h * hd : 2 * d + (h + 1) * hd]
+            if rotary:
+                qf = q.astype(jnp.float32)
+                kf = k.astype(jnp.float32)
+                q = (qf * cos + _rotate_half_lanes(q) * sin).astype(q.dtype)
+                k = (kf * cos + _rotate_half_lanes(k) * sin).astype(k.dtype)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + bias_b
+            logits -= jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits)
+            attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+            o_ref[0, lo:hi, h * hd : (h + 1) * hd] = jnp.dot(
+                attn, v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+
+def fused_self_attention_proj(
+    x, w_qkv, b_qkv, cos, sin, key_bias, scale, heads, splits=None,
+    *, interpret=False,
+):
+    """Self-attention with the (permuted) qkv projection fused in-kernel.
+
+    ``w_qkv``/``b_qkv``: output of :func:`permute_qkv_kernel`. ``splits``
+    (optional) runs block-diagonal attention over the token concatenation.
+    """
+    b, n, din = x.shape
+    d3 = w_qkv.shape[-1]
+    d = d3 // 3
+    hd = d // heads
+    rotary = cos is not None
+    if not rotary:
+        cos = jnp.zeros((b, n, hd), x.dtype)
+        sin = cos
+    if splits is None:
+        splits = (n,)
+    bias = key_bias[:, None, :].astype(jnp.float32)
+
+    def wspec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        partial(_self_proj_kernel, scale=scale, heads=heads, hd=hd,
+                rotary=rotary, splits=tuple(splits)),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, din), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec(din, d3),
+            wspec(1, d3),
+            pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((n, d3), x.dtype)],
+        interpret=interpret,
+    )(
+        x, w_qkv.astype(x.dtype), b_qkv[None].astype(jnp.float32),
+        cos.astype(jnp.float32), sin.astype(jnp.float32), bias,
+    )
+
+
+def _cross_proj_kernel(x_ref, wqk_ref, bqk_ref, wv_ref, bv_ref,
+                       b0_ref, b1_ref, m_ref, qk_scratch, v_scratch,
+                       *, scale, heads, hd, n0):
+    """x(cat) [1, N, D] -> in-kernel to_qk/to_v -> symmetric cross attn."""
+    x = x_ref[0]
+    qk_scratch[...] = (
+        jnp.dot(x, wqk_ref[...], preferred_element_type=jnp.float32)
+        + bqk_ref[...]
+    ).astype(qk_scratch.dtype)
+    v_scratch[...] = (
+        jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+        + bv_ref[...]
+    ).astype(v_scratch.dtype)
+    bias0 = b0_ref[0]  # [1, N0]
+    bias1 = b1_ref[0]  # [1, N1]
+    for h in range(heads):
+        s = slice(h * hd, (h + 1) * hd)
+        q0 = qk_scratch[:n0, s]
+        q1 = qk_scratch[n0:, s]
+        v0 = v_scratch[:n0, s]
+        v1 = v_scratch[n0:, s]
+
+        sim = jax.lax.dot_general(
+            q0, q1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias1
+        sim -= jnp.max(sim, axis=-1, keepdims=True)
+        e = jnp.exp(sim)
+        attn01 = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v1.dtype)
+        m_ref[0, :n0, s] = jnp.dot(
+            attn01, v1, preferred_element_type=jnp.float32
+        ).astype(m_ref.dtype)
+
+        simt = jax.lax.dot_general(
+            q1, q0, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias0
+        simt -= jnp.max(simt, axis=-1, keepdims=True)
+        e = jnp.exp(simt)
+        attn10 = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v0.dtype)
+        m_ref[0, n0:, s] = jnp.dot(
+            attn10, v0, preferred_element_type=jnp.float32
+        ).astype(m_ref.dtype)
+
+
+def fused_cross_attention_proj(
+    x_cat, w_qk, b_qk, w_v, b_v, bias0, bias1, scale, heads, n0,
+    *, interpret=False,
+):
+    """Symmetric shared-QK cross attention with in-kernel projections.
+
+    ``x_cat`` ``[B, N0+N1, D]``; returns messages for the concatenation
+    (``[B, N0+N1, D]``, same layout).
+    """
+    b, n, din = x_cat.shape
+    d = w_qk.shape[-1]
+    hd = d // heads
+    b0 = bias0[:, None, :].astype(jnp.float32)
+    b1 = bias1[:, None, :].astype(jnp.float32)
+
+    def wspec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        partial(_cross_proj_kernel, scale=scale, heads=heads, hd=hd, n0=n0),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, din), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec(din, d), wspec(1, d),
+            wspec(din, d), wspec(1, d),
+            pl.BlockSpec((1, 1, n0), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n - n0), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x_cat.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, d), x_cat.dtype),
+            pltpu.VMEM((n, d), x_cat.dtype),
+        ],
+        interpret=interpret,
+    )(
+        x_cat, w_qk.astype(x_cat.dtype), b_qk[None].astype(jnp.float32),
+        w_v.astype(x_cat.dtype), b_v[None].astype(jnp.float32), b0, b1,
+    )

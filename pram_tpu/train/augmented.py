@@ -60,11 +60,18 @@ def make_augmented_train_step(
         jax.lax.stop_gradient, extractor_vars
     )
 
+    # run the frozen extractor in its parameter dtype (bf16 extractors are
+    # the TPU default; convs require matching operand dtypes)
+    _extractor_dtype = jax.tree_util.tree_leaves(extractor_vars)[0].dtype
+
     def descriptors_from_images(key, images, kpts):
         images = photometric_jitter(
             key, images, jitter_brightness, jitter_contrast
         )
-        out = extractor_model.apply(frozen_vars, preprocess_image(images))
+        out = extractor_model.apply(
+            frozen_vars,
+            preprocess_image(images).astype(_extractor_dtype),
+        )
         fmap = out["mid_features"] if use_mid_feature else out["desc_map"]
 
         def per_image(k, f):

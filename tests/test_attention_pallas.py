@@ -121,6 +121,16 @@ def _interp(monkeypatch):
         lambda *a, **kw: fused_cross_attention_packed(
             *a, interpret=True, **kw),
     )
+    orig_sp = ap.fused_self_attention_proj
+    monkeypatch.setattr(
+        ap, "fused_self_attention_proj",
+        lambda *a, **kw: orig_sp(*a, interpret=True, **kw),
+    )
+    orig_cp = ap.fused_cross_attention_proj
+    monkeypatch.setattr(
+        ap, "fused_cross_attention_proj",
+        lambda *a, **kw: orig_cp(*a, interpret=True, **kw),
+    )
     orig_mlp = mp.fused_residual_mlp
     monkeypatch.setattr(
         mp, "fused_residual_mlp",

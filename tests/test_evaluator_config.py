@@ -125,3 +125,61 @@ def test_repo_configs_parse():
     }
     assert scenes["chess"].n_cluster == 16
     assert scenes["chess"].cluster_mode == "xz"
+
+
+def test_evaluator_streams_through_adaptive(rng):
+    """The pipelined evaluator drives the adaptive two-phase API (VERDICT
+    r2 #6): same recall as the plain dispatch, no host sync breaking the
+    in-flight queue."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pram_tpu.engine.evaluator import evaluate_queries
+    from pram_tpu.engine.localizer import LocConfig, Localizer
+    from pram_tpu.engine.matching import make_nn_match_fn
+    from pram_tpu.maps.device import to_device
+    from pram_tpu.maps.synthetic import make_synthetic_scene
+    from tests.test_engine import perfect_logits
+
+    scene = make_synthetic_scene(
+        rng, n_cluster=3, points_per_cluster=80, n_ref_frames=4, desc_dim=32
+    )
+    dmap = to_device(scene.map)
+    cfg = LocConfig(seg_k=3, min_inliers=12, min_kpts=16, threshold=5.0,
+                    num_hypotheses=64)
+    loc = Localizer(dmap, make_nn_match_fn(), cfg)
+
+    def batches():
+        for _ in range(3):
+            qs = [scene.render_query(rng, noise_px=0.3) for _ in range(2)]
+            yield {
+                "camera_params": np.stack(
+                    [[500.0, 500.0, 320.0, 240.0, 0, 0, 0, 0]] * 2
+                ).astype(np.float32),
+                "camera_size": np.stack([[640.0, 480.0]] * 2).astype(
+                    np.float32
+                ),
+                "keypoints": np.stack([q["keypoints"] for q in qs]),
+                "scores": np.stack([q["scores"] for q in qs]),
+                "descriptors": np.stack([q["descriptors"] for q in qs]),
+                "mask": np.stack([q["mask"] for q in qs]),
+                "seg_logits": np.stack(
+                    [
+                        perfect_logits(q["gt_seg"], scene.map.n_class,
+                                       q["mask"])
+                        for q in qs
+                    ]
+                ),
+                "gt_qvec": np.stack([q["qvec"] for q in qs]).astype(
+                    np.float32
+                ),
+                "gt_tvec": np.stack([q["tvec"] for q in qs]),
+            }
+
+    report = evaluate_queries(
+        loc, batches(), log_fn=None, pipeline_depth=2, prefetch=2,
+        method="adaptive",
+    )
+    assert report.n_total == 6
+    assert report.recall()["0.05m/5.0deg"] == 1.0
