@@ -246,7 +246,11 @@ class SelfAttentionBlock(nn.Module):
 
             if max(attn_sizes) <= 1024:
                 # one kernel program per frame: in-kernel qkv projection +
-                # (block-diagonal) attention — no XLA matmul boundary
+                # (block-diagonal) attention — no XLA matmul boundary.
+                # (Merging the residual MLP into the same kernel was
+                # measured SLOWER: 388.6 -> 369.7 fps — the monolithic
+                # program starves cross-program DMA overlap; see
+                # ROUND_NOTES negative results.)
                 from pram_tpu.ops.attention_pallas import (
                     fused_self_attention_proj,
                 )
