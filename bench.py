@@ -74,7 +74,7 @@ def main():
     from pram_tpu.models.sfd2 import ResNet4x, extract
 
     rng = np.random.RandomState(0)
-    batch = 32
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     compute_dtype = jnp.bfloat16  # MXU-native; coords/Sinkhorn/PnP stay f32
     n_kpts = 512
     height, width = 480, 640

@@ -526,26 +526,42 @@ def refine_projection_core(
     # descriptor distances with projection gating (+100 out-of-radius
     # penalty, singlemap3d.py:423-435); f32 accumulation — the 0.995 ratio
     # test needs more precision than bf16 carries
-    sim = jnp.einsum(
-        "nd,pd->np", descs, pdesc, preferred_element_type=jnp.float32
-    )  # [N, Pr]
-    dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * sim + 1e-6, 0.0))
-    proj_err = jnp.linalg.norm(kpts[:, None, :] - uv[None], axis=-1)
-    gate = (proj_err < 2.0 * cfg.threshold) & in_img[None]
-    dist = jnp.where(gate, dist, dist + 100.0)
-
-    # top-2 NN + ratio test. min/argmin + masked second min instead of
-    # lax.top_k: top_k sorts the whole 2048-wide lane axis and dominated the
-    # refinement stage on TPU; three VPU reductions are ~free.
-    nn_idx = jnp.argmin(dist, axis=-1)
-    d1 = jnp.min(dist, axis=-1)
-    cols = jnp.arange(dist.shape[-1])[None, :]
-    d2 = jnp.min(
-        jnp.where(cols == nn_idx[:, None], jnp.inf, dist), axis=-1
+    from pram_tpu.ops.refine_pallas import (
+        refine_nn_pallas,
+        refine_nn_supported,
     )
-    keep = (d1 / jnp.maximum(d2, 1e-9) <= cfg.projection_ratio) & (
-        d1 < 100.0
-    ) & mask
+
+    if jax.default_backend() == "tpu" and refine_nn_supported(
+        kpts.shape[0], pdesc.shape[0]
+    ):
+        # fused VMEM kernel: the XLA formulation materializes several
+        # [N, Pr] f32 tensors in HBM (~0.5 GB/batch at bench shape)
+        nn_idx, _, keep = refine_nn_pallas(
+            descs, pdesc, kpts, uv, in_img, mask,
+            2.0 * cfg.threshold, cfg.projection_ratio,
+        )
+    else:
+        sim = jnp.einsum(
+            "nd,pd->np", descs, pdesc, preferred_element_type=jnp.float32
+        )  # [N, Pr]
+        dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * sim + 1e-6, 0.0))
+        proj_err = jnp.linalg.norm(kpts[:, None, :] - uv[None], axis=-1)
+        gate = (proj_err < 2.0 * cfg.threshold) & in_img[None]
+        dist = jnp.where(gate, dist, dist + 100.0)
+
+        # top-2 NN + ratio test. min/argmin + masked second min instead of
+        # lax.top_k: top_k sorts the whole 2048-wide lane axis and
+        # dominated the refinement stage on TPU; three VPU reductions are
+        # ~free.
+        nn_idx = jnp.argmin(dist, axis=-1)
+        d1 = jnp.min(dist, axis=-1)
+        cols = jnp.arange(dist.shape[-1])[None, :]
+        d2 = jnp.min(
+            jnp.where(cols == nn_idx[:, None], jnp.inf, dist), axis=-1
+        )
+        keep = (d1 / jnp.maximum(d2, 1e-9) <= cfg.projection_ratio) & (
+            d1 < 100.0
+        ) & mask
     m_xyz = xyz[nn_idx]
     m_pt_idx = jnp.where(keep, pt_idx[nn_idx], -1)
 
