@@ -47,6 +47,10 @@ WEIGHTS = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "weights",
     "gml_synthetic.msgpack",
 )
+REC_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "weights",
+    "segnetvit_synthetic.msgpack",
+)
 
 
 def main():
@@ -228,13 +232,41 @@ def main():
     ).astype(compute_dtype)
     q_scores = jnp.asarray(np.stack([q["scores"] for q in queries]))
     q_mask = jnp.asarray(np.stack([q["mask"] for q in queries]))
-    gt_seg = np.stack([q["gt_seg"] for q in queries])
-    cls = np.where(gt_seg >= 0, gt_seg + 1, 0)  # class 0 = background
-    logits = np.full(
-        (batch, gt_seg.shape[1], scene.map.n_class), -10.0, np.float32
-    )
-    np.put_along_axis(logits, cls[..., None], 10.0, axis=2)
-    logits_j = jnp.asarray(logits)
+    # recognition logits: a SegNetViT FITTED to the synthetic scene
+    # (scripts/train_synthetic_gml.py --recognizer) when available —
+    # candidate routing then comes from a trained model through the same
+    # fused kernels as the fps path; gt one-hot logits as fallback
+    rec_trained = os.path.exists(REC_WEIGHTS)
+    if rec_trained:
+        from flax import serialization
+
+        rec_s = SegNetViT(
+            SegNetViTConfig(descriptor_dim=128, n_class=n_class)
+        )
+        rtmpl = rec_s.init(
+            jax.random.PRNGKey(3),
+            jnp.zeros((1, 8, 128), jnp.float32),
+            jnp.zeros((1, 8, 2), jnp.float32),
+        )["params"]
+        with open(REC_WEIGHTS, "rb") as f:
+            rparams = serialization.from_bytes(rtmpl, f.read())
+        nk_q = q_kpts / jnp.asarray([width, height], jnp.float32) - 0.5
+        logits_j = jax.jit(
+            lambda d, k, m: rec_s.apply(
+                {"params": cast_tree(rparams)}, d, k, m
+            )["prediction"].astype(jnp.float32)
+        )(q_descs, nk_q, q_mask)
+        # the nc113 head is trained with only the scene's classes in the
+        # targets; slice to the map's class range for candidate routing
+        logits_j = logits_j[:, :, : scene.map.n_class]
+    else:
+        gt_seg = np.stack([q["gt_seg"] for q in queries])
+        cls = np.where(gt_seg >= 0, gt_seg + 1, 0)  # class 0 = background
+        logits = np.full(
+            (batch, gt_seg.shape[1], scene.map.n_class), -10.0, np.float32
+        )
+        np.put_along_axis(logits, cls[..., None], 10.0, axis=2)
+        logits_j = jnp.asarray(logits)
     res_acc = loc.localize_batch(
         jax.random.PRNGKey(7), camera, q_kpts, q_scores, q_descs, q_mask,
         logits_j,
@@ -308,6 +340,7 @@ def main():
                 "runs": runs,
                 "recall_5cm5deg_gml": round(recall, 4),
                 "gml_trained_weights": gml_trained,
+                "rec_trained_weights": rec_trained,
                 "value_full_sweep": fps_k10,
                 "value_adaptive": fps_adaptive,
                 "value_loc_only_k1": fps_k1_loc,
