@@ -505,7 +505,6 @@ def _cross_dir_kernel(
     (accumulated across the sequential query-block axis)."""
     j = pl.program_id(1)
     bias_k = bk_ref[0]  # [1, M]
-    bias_q = bq_ref[0]  # [1, Nq]
     qstart = j * qblk
     stat_total = None
     for h in range(heads):

@@ -45,13 +45,10 @@ def _refine_kernel(q_ref, p_ref, qrows_ref, prows_ref, sc_ref, out_ref,
     )  # [N, pblk]
     dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * sim + 1e-6, 0.0))
 
-    kx = qrows_ref[0, 0:1, :]  # [1, N] -> need column; use transpose trick
-    ky = qrows_ref[0, 1:2, :]
     # pairwise projection error: rows are queries, so query coords must be
-    # columns. qrows are stored TRANSPOSED as [N, 8] instead — see caller.
+    # columns — qrows are stored transposed as [N, 8] by the caller
     kxc = qrows_ref[0, :, 0:1]  # [N, 1]
     kyc = qrows_ref[0, :, 1:2]
-    del kx, ky
     ux = prows_ref[0, 0:1, :]  # [1, pblk]
     uy = prows_ref[0, 1:2, :]
     inb = prows_ref[0, 2:3, :] > 0.5  # [1, pblk]

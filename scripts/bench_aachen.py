@@ -10,7 +10,6 @@ stats) -> PnP/RANSAC -> projection refinement.
 Prints ONE JSON line with fps and per-device HBM, for ROUND_NOTES.
 """
 
-import dataclasses
 import json
 import os
 import sys
