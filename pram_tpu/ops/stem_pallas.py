@@ -62,7 +62,8 @@ def _build_w1_blockdiag(k1f, rows=4):
     # w[j*64+f, t*rows+j'] = kt[t, f] * eye[j, j']
     blk = jnp.einsum("tf,jk->jftk", kt, eye).reshape(rows * f, 27 * rows)
     w = blk
-    pad = 128 - 27 * rows
+    kpad = -(-27 * rows // 128) * 128
+    pad = kpad - 27 * rows
     if pad > 0:
         w = jnp.pad(w, ((0, 0), (0, pad)))
     return w
@@ -78,9 +79,10 @@ def _build_w2(k2f):
 
 
 def _stem_kernel(
-    iev_hbm, iod_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+    iev_hbm, iod_hbm, w1a_ref, b1a_ref, w1b_ref, b1b_ref, w2_ref, b2_ref,
+    out_ref,
     iev, iod, iev1, iod1, x1, a_od, a_ev, a_od1, x2, sems,
-    *, th, w2out, acc_dtype,
+    *, th, w2out, acc_dtype, schedule,
 ):
     """One (batch, row-tile) program: th output rows x w2out output cols.
 
@@ -115,40 +117,62 @@ def _stem_kernel(
     iev1[:, :, :wq] = iev[:, :, 1 : wq + 1]
     iod1[:, :, :wq] = iod[:, :, 1 : wq + 1]
 
-    # zero the K-padding rows once (junk here would NaN the f32 accumulator)
-    x1[108:128, :] = jnp.zeros((20, wq), dtype)
+    # zero the full K-padding once (junk would NaN the f32 accumulator);
+    # block sizes < max also leave junk K rows, re-zeroed per small block
+    kpad = x1.shape[0]
+    max_rows = max(r for _, r in schedule)
+    x1[27 * max_rows : kpad, :] = jnp.zeros(
+        (kpad - 27 * max_rows, wq), dtype
+    )
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (4, 64, wq), 2)
-
-    # ---- conv1a: 9 blocks of 4 A-rows; A row a holds A[y = 2*r0 - 1 + a]
-    n_blocks = (2 * th + 4) // 4
-    for q in range(n_blocks):
-        a0 = 4 * q
+    # ---- conv1a over the block schedule; A row a holds A[y = 2*r0 -1 + a].
+    # 8-row blocks keep every im2col copy sublane-aligned and halve the copy
+    # count vs uniform 4-row blocks; the 4-row remainder handles
+    # (2*th+4) % 8 == 4 (th=16 -> 4x8 + 1x4).
+    for a0, rows in schedule:
+        w1_ref = w1a_ref if rows == max_rows else w1b_ref
+        b1_ref = b1a_ref if rows == max_rows else b1b_ref
+        if rows != max_rows:
+            # junk between this block's K extent and the big block's
+            x1[27 * rows : 27 * max_rows, :] = jnp.zeros(
+                (27 * (max_rows - rows), wq), dtype
+            )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 64, wq), 2)
         # X1 for the ODD output phase (A col x = 2m-1): input col ip = 2m+dx
         for c in range(3):
             for dy in range(3):
                 for dx in range(3):
-                    blk = (c * 9 + dy * 3 + dx) * 4
+                    blk = (c * 9 + dy * 3 + dx) * rows
                     src = (iev, iod, iev1)[dx]
-                    x1[blk : blk + 4, :] = src[c, a0 + dy : a0 + dy + 4, :wq]
-        a4 = jnp.dot(w1_ref[:], x1[:], preferred_element_type=acc_dtype)
+                    x1[blk : blk + rows, :] = src[
+                        c, a0 + dy : a0 + dy + rows, :wq
+                    ]
+        a4 = jnp.dot(
+            w1_ref[:], x1[: w1_ref.shape[1], :],
+            preferred_element_type=acc_dtype,
+        )
         a4 = jnp.maximum(a4 + b1_ref[:], 0.0).astype(dtype)
-        a4 = a4.reshape(4, 64, wq)
+        a4 = a4.reshape(rows, 64, wq)
         # A[x=-1] is conv1b's zero SAME-padding, not a conv1a value
         a4 = jnp.where(lane == 0, jnp.zeros_like(a4), a4)
-        a_od[a0 : a0 + 4] = a4
-        a_od1[a0 : a0 + 4, :, : wq - 1] = a4[:, :, 1:wq]
+        a_od[a0 : a0 + rows] = a4
+        a_od1[a0 : a0 + rows, :, : wq - 1] = a4[:, :, 1:wq]
 
         # X1 for the EVEN phase (A col x = 2m): input col ip = 2m+1+dx
         for c in range(3):
             for dy in range(3):
                 for dx in range(3):
-                    blk = (c * 9 + dy * 3 + dx) * 4
+                    blk = (c * 9 + dy * 3 + dx) * rows
                     src = (iod, iev1, iod1)[dx]
-                    x1[blk : blk + 4, :] = src[c, a0 + dy : a0 + dy + 4, :wq]
-        a4 = jnp.dot(w1_ref[:], x1[:], preferred_element_type=acc_dtype)
+                    x1[blk : blk + rows, :] = src[
+                        c, a0 + dy : a0 + dy + rows, :wq
+                    ]
+        a4 = jnp.dot(
+            w1_ref[:], x1[: w1_ref.shape[1], :],
+            preferred_element_type=acc_dtype,
+        )
         a4 = jnp.maximum(a4 + b1_ref[:], 0.0).astype(dtype)
-        a_ev[a0 : a0 + 4] = a4.reshape(4, 64, wq)
+        a_ev[a0 : a0 + rows] = a4.reshape(rows, 64, wq)
 
     # first tile: A row y = -1 is zero SAME-padding for conv1b
     @pl.when(t == 0)
@@ -196,12 +220,30 @@ def fused_stem(
     # inside the 16MB scoped-vmem limit
     th = 16 if (h2 % 16 == 0 and dtype == jnp.bfloat16) else 8
     assert h2 % th == 0, f"H/2={h2} must be a multiple of {th}"
+    # conv1a block schedule: as many 8-row blocks as fit (sublane-aligned
+    # im2col copies, half the copy count of 4-row blocks — the kernel is
+    # copy-issue-bound) + a 4-row remainder. DMA alignment pins th to a
+    # multiple of 4, so (2*th+4) % 8 == 4 always leaves one 4-row block.
+    a_rows = 2 * th + 4
+    schedule = []
+    a0 = 0
+    while a_rows - a0 >= 8:
+        schedule.append((a0, 8))
+        a0 += 8
+    while a_rows - a0 >= 4:
+        schedule.append((a0, 4))
+        a0 += 4
+    assert a0 == a_rows, (th, schedule)
+    max_rows = max(r for _, r in schedule)
+    kpad = -(-27 * max_rows // 128) * 128
     acc = jnp.float32
 
     k1f, b1f = fold_bn(k1, b1, *bn1)
     k2f, b2f = fold_bn(k2, b2, *bn2)
-    w1 = _build_w1_blockdiag(k1f).astype(dtype)
-    b1m = jnp.tile(b1f, 4)[:, None].astype(acc)  # [256, 1]
+    w1a = _build_w1_blockdiag(k1f, rows=max_rows).astype(dtype)
+    b1a = jnp.tile(b1f, max_rows)[:, None].astype(acc)
+    w1b = _build_w1_blockdiag(k1f, rows=4).astype(dtype)
+    b1b = jnp.tile(b1f, 4)[:, None].astype(acc)
     w2m = _build_w2(k2f).astype(dtype)  # [64, 576]
     b2m = b2f[:, None].astype(acc)  # [64, 1]
 
@@ -226,11 +268,16 @@ def fused_stem(
     grid = (bsz, h2 // th)
 
     out = pl.pallas_call(
-        partial(_stem_kernel, th=th, w2out=w2out, acc_dtype=acc),
+        partial(_stem_kernel, th=th, w2out=w2out, acc_dtype=acc,
+                schedule=tuple(schedule)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((max_rows * 64, kpad), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max_rows * 64, 1), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((256, 128), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((256, 1), lambda b, t: (0, 0),
@@ -250,7 +297,7 @@ def fused_stem(
             pltpu.VMEM((3, n_in_rows, wpad), dtype),  # iod
             pltpu.VMEM((3, n_in_rows, wpad), dtype),  # iev1
             pltpu.VMEM((3, n_in_rows, wpad), dtype),  # iod1
-            pltpu.VMEM((128, wq), dtype),  # x1
+            pltpu.VMEM((kpad, wq), dtype),  # x1
             pltpu.VMEM((2 * th + 4, 64, wq), dtype),  # a_od
             pltpu.VMEM((2 * th + 4, 64, wq), dtype),  # a_ev
             pltpu.VMEM((2 * th + 4, 64, wq), dtype),  # a_od1
@@ -258,7 +305,7 @@ def fused_stem(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(iev, iod, w1, b1m, w2m, b2m)
+    )(iev, iod, w1a, b1a, w1b, b1b, w2m, b2m)
 
     # planar [B, H/2, 64, W/2] -> NHWC
     return jnp.transpose(out, (0, 1, 3, 2))

@@ -83,3 +83,22 @@ def test_resnet4x_pallas_stem_matches_module_path(rng):
             np.asarray(got[key]), np.asarray(ref[key]), rtol=2e-4, atol=2e-4,
             err_msg=key,
         )
+
+
+def test_fused_stem_rows8_bf16(rng):
+    """bf16 selects th=16 whose 36 A-rows run the mixed 4x8 + 1x4 conv1a
+    block schedule — the copy-halved path the bench uses at 480x640."""
+    import pram_tpu.ops.stem_pallas as sp
+
+    h, w, b = 64, 16, 1  # h2 = 32 -> th = 16 (bf16), schedule 8,8,8,8,4
+    image32 = rng.randn(b, h, w, 3).astype(np.float32) * 0.5
+    image = jnp.asarray(image32).astype(jnp.bfloat16)
+    params = _random_stem_params(rng)
+    ref = _xla_stem(image.astype(jnp.float32), *params)
+    got = fused_stem(image, *params, interpret=True)
+    assert got.shape == (b, h // 2, w // 2, 64)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref),
+        rtol=0.1, atol=0.08,  # bf16 conv chain tolerance
+    )
