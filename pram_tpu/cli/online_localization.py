@@ -39,6 +39,11 @@ def main(argv=None):
         "(0 = ephemeral); the browser replacement for the reference's "
         "pangolin window (localization/viewer.py)",
     )
+    ap.add_argument(
+        "--viewer_host", default="127.0.0.1",
+        help="viewer bind address (default loopback; 0.0.0.0 exposes the "
+        "map + pose stream to the network)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -110,8 +115,10 @@ def main(argv=None):
     if args.viewer_port is not None:
         from pram_tpu.viz import ViewerServer
 
-        viewer = ViewerServer(pmap, port=args.viewer_port)
-        print(f"viewer: http://localhost:{viewer.port}/")
+        viewer = ViewerServer(
+            pmap, port=args.viewer_port, host=args.viewer_host
+        )
+        print(f"viewer: http://{args.viewer_host}:{viewer.port}/")
 
     queries = parse_image_list_with_intrinsics(args.queries)
     key = jax.random.PRNGKey(0)

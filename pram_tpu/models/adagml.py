@@ -211,7 +211,9 @@ class _CrossAttnStats(nn.Module):
         to_qk = nn.Dense(self.hidden_dim, name="to_qk")
         to_v = nn.Dense(self.hidden_dim, name="to_v")
 
-        if _common.use_fused_attention(n0, n1) and _common._attn_vmem_ok(
+        if _common.use_fused_cross_attention(
+            n0, n1
+        ) and _common._attn_vmem_ok(
             n0, n1, self.hidden_dim, x0.dtype.itemsize
         ):
             from pram_tpu.ops.attention_pallas import (

@@ -124,6 +124,22 @@ def use_fused_attention(*token_counts: int) -> bool:
     return True
 
 
+def use_fused_cross_attention(n0: int, n1: int) -> bool:
+    """Cross-attention gate on the actual (query, key) token pair.
+
+    The self-attention gate checks each count against itself; the cross
+    kernels tile ``[n0, n1]`` and ``[n1, n0]`` logits blocks, so an
+    asymmetric pair must be gated as a pair (ADVICE r3 #2).
+    """
+    if not use_fused_attention():
+        return False
+    from pram_tpu.ops.attention_pallas import (
+        fused_cross_attention_supported,
+    )
+
+    return fused_cross_attention_supported(n0, n1)
+
+
 def mask_to_bias(mask: Optional[jax.Array], b: int, n: int) -> jax.Array:
     """Bool validity mask -> f32 additive attention bias (0 / -1e9)."""
     if mask is None:
@@ -375,7 +391,7 @@ class CrossAttentionBlock(nn.Module):
         hd = self.hidden_dim // h
         scale = hd**-0.5
 
-        if use_fused_attention(n0, n1) and _attn_vmem_ok(
+        if use_fused_cross_attention(n0, n1) and _attn_vmem_ok(
             n0, n1, self.hidden_dim, x0.dtype.itemsize
         ):
             cat = jnp.concatenate([x0, x1], axis=1)

@@ -300,6 +300,25 @@ def fused_attention_supported(*token_counts) -> bool:
     )
 
 
+def fused_cross_attention_supported(n0: int, n1: int) -> bool:
+    """Whether the cross-attention kernels can tile this (possibly
+    asymmetric) token pair.
+
+    ADVICE r3: the symmetric per-count gate (``_pick_qblock(t, t)``) let
+    pairs through that ``_cross_attention_dir`` — which needs
+    ``_pick_qblock(nq, m)`` for BOTH directions — then rejected at trace
+    time. Gate on the actual pair so such shapes take the XLA path.
+    """
+    if max(n0, n1) > MAX_FUSED_TOKENS:
+        return False
+    if max(n0, n1) <= _SINGLE_TILE_MAX:
+        return True
+    return (
+        _pick_qblock(n0, n1) is not None
+        and _pick_qblock(n1, n0) is not None
+    )
+
+
 def fused_self_attention_qkv(
     qkv, cos, sin, key_bias, scale, heads, *, interpret=False,
     return_stats=False,

@@ -39,10 +39,17 @@ def _pick_nblock(k: int, n: int):
 
 
 def score_supported(k: int, n: int) -> bool:
-    """Whether the fused scorer can handle this (poses, points) shape."""
-    return (
-        k % 8 == 0
-        and (n % 128 == 0 or (n * k * 4 <= _TILE_BYTES and n % 8 == 0))
+    """Whether the fused scorer can handle this (poses, points) shape
+    within the per-block tile budget.
+
+    ADVICE r3: a blockable-N shape whose K makes every ``_pick_nblock``
+    tile over budget must NOT silently take the single-[K, N]-block path —
+    it is gated to the XLA fallback instead.
+    """
+    if k % 8 != 0:
+        return False
+    return _pick_nblock(k, n) is not None or (
+        n % 8 == 0 and n * k * 4 <= _TILE_BYTES
     )
 
 

@@ -44,11 +44,19 @@ def initialize_distributed(
             return  # already initialized (by us or the runtime)
     except Exception:
         pass
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # belt-and-braces for the documented safe-to-call-repeatedly
+        # contract: if the private global_state probe above ever stops
+        # working (jax._src move), the already-initialized case must still
+        # be a no-op rather than a crash (ADVICE r3 #4)
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def make_mesh(

@@ -61,8 +61,15 @@ def make_augmented_train_step(
     )
 
     # run the frozen extractor in its parameter dtype (bf16 extractors are
-    # the TPU default; convs require matching operand dtypes)
-    _extractor_dtype = jax.tree_util.tree_leaves(extractor_vars)[0].dtype
+    # the TPU default; convs require matching operand dtypes). Mixed-dtype
+    # checkpoints (f32 BN stats next to bf16 conv kernels) mean the FIRST
+    # leaf can lie — take the dtype from a conv-kernel-shaped leaf
+    # (ndim >= 2) instead (ADVICE r3 #5).
+    _leaves = jax.tree_util.tree_leaves(extractor_vars)
+    _extractor_dtype = next(
+        (l.dtype for l in _leaves if getattr(l, "ndim", 0) >= 2),
+        _leaves[0].dtype,
+    )
 
     def descriptors_from_images(key, images, kpts):
         images = photometric_jitter(

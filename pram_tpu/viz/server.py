@@ -76,11 +76,20 @@ class ViewerServer:
       max_points: point-cloud subsample cap for the browser payload.
     """
 
-    def __init__(self, pmap=None, port: int = 0, max_points: int = 60000):
+    def __init__(
+        self,
+        pmap=None,
+        port: int = 0,
+        max_points: int = 60000,
+        host: str = "127.0.0.1",
+    ):
         self._state = _State()
         self._map_payload = self._build_map_payload(pmap, max_points)
         handler = self._make_handler()
-        self._httpd = ThreadingHTTPServer(("0.0.0.0", port), handler)
+        # loopback by default: the stream carries the map point cloud and
+        # live poses — exposing it to the network must be an explicit
+        # opt-in (host="0.0.0.0"), not the default (ADVICE r3 medium)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
@@ -184,7 +193,10 @@ class ViewerServer:
                     self._json(map_payload)
                 elif url.path == "/state":
                     q = parse_qs(url.query)
-                    since = int(q.get("since", ["0"])[0])
+                    try:
+                        since = int(q.get("since", ["0"])[0])
+                    except ValueError:
+                        since = 0
                     self._json(state.since(since))
                 else:
                     self._json({"error": "not found"}, 404)
