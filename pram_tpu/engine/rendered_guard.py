@@ -1,0 +1,373 @@
+"""Image-level recall guard: the full pipeline on the rendered world.
+
+This is the machinery behind bench.py's ``recall_5cm5deg_image`` number and
+``scripts/train_rendered.py eval`` (VERDICT r3 #1): rendered query images go
+through SFD2 extraction (Pallas stem + NMS on TPU) -> SegNetViT recognition
+-> GML matching -> PnP/refinement in ONE compiled pipeline — the same
+program shape the fps loop times — and recall/match-precision are computed
+against the renderer's exact ground-truth poses. A Mosaic lowering or
+numerics bug in ANY fused kernel, including the extraction kernels the old
+descriptor-injected guard bypassed, surfaces here as a recall drop.
+
+Also provides the fused-vs-XLA extraction A/B check (keypoint-set equality
++ descriptor tolerance on hardware) the verify skill runs.
+
+Reference chain being modeled: nets/sfd2.py:269-346 (extract_local_global)
+-> nets/segnetvit.py forward -> the candidate loop of
+localization/multimap3d.py:114-239.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+REPO = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+WEIGHTS_DIR = os.path.join(REPO, "weights")
+SFD2_W = os.path.join(WEIGHTS_DIR, "sfd2_rendered.msgpack")
+GML_W = os.path.join(WEIGHTS_DIR, "gml_rendered.msgpack")
+REC_W = os.path.join(WEIGHTS_DIR, "segnetvit_rendered.msgpack")
+
+WIDTH, HEIGHT = 640, 480
+FOCAL = 500.0
+N_KPTS = 512
+
+
+def weights_present() -> bool:
+    return all(os.path.exists(p) for p in (SFD2_W, GML_W, REC_W))
+
+
+class RenderedGuard:
+    """Loads the fitted stack, rebuilds the map on-device, compiles the
+    image pipeline, and scores rendered queries against gt poses."""
+
+    def __init__(
+        self,
+        batch: int = 32,
+        seg_k: int = 1,
+        compute_dtype=None,
+        loc_overrides: Optional[dict] = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
+
+        from pram_tpu.engine.localizer import LocConfig, Localizer
+        from pram_tpu.engine.matching import make_gml_match_fn
+        from pram_tpu.geometry.camera import Camera
+        from pram_tpu.maps.device import to_device
+        from pram_tpu.maps.rendered import build_rendered_scene, make_world
+        from pram_tpu.models.gml import GML, GMLConfig
+        from pram_tpu.models.segnetvit import SegNetViT, SegNetViTConfig
+        from pram_tpu.models.sfd2 import ResNet4x, extract, preprocess_image
+
+        self.jax, self.jnp = jax, jnp
+        self.batch = batch
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.bfloat16
+                if jax.default_backend() == "tpu"
+                else jnp.float32
+            )
+        self.compute_dtype = compute_dtype
+
+        def cast(t):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(compute_dtype)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32
+                else a,
+                t,
+            )
+
+        # -- models (fitted on the rendered world, scripts/train_rendered.py)
+        self.sfd2 = ResNet4x()
+        tmpl = self.sfd2.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, HEIGHT, WIDTH, 3), jnp.float32),
+        )
+        with open(SFD2_W, "rb") as f:
+            self.sfd2_vars = cast(serialization.from_bytes(tmpl, f.read()))
+
+        self.rec = SegNetViT(SegNetViTConfig(n_class=113))
+        rtmpl = self.rec.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, 8, 256), jnp.float32),
+            jnp.zeros((1, 8, 2), jnp.float32),
+        )["params"]
+        with open(REC_W, "rb") as f:
+            rparams = serialization.from_bytes(rtmpl, f.read())
+        self.rec_vars = {"params": cast(rparams)}
+
+        gml = GML(GMLConfig(use_pallas_sinkhorn=True))
+        gtmpl = gml.init(
+            jax.random.PRNGKey(2),
+            jnp.zeros((1, 8, 128), jnp.float32),
+            jnp.zeros((1, 8, 128), jnp.float32),
+            jnp.zeros((1, 8, 2), jnp.float32),
+            jnp.zeros((1, 8, 2), jnp.float32),
+        )["params"]
+        with open(GML_W, "rb") as f:
+            gparams = serialization.from_bytes(gtmpl, f.read())
+        gvars = {"params": cast(gparams)}
+
+        # -- deterministic world + map built by the extractor ON THIS device
+        def extract_np(images):
+            feats = extract(
+                self.sfd2, self.sfd2_vars,
+                preprocess_image(jnp.asarray(images)).astype(compute_dtype),
+                max_keypoints=1024, conf_th=1e-4,
+            )
+            kps = feats["keypoints"]
+            return (
+                np.asarray(kps.xy, np.float32),
+                np.asarray(kps.scores, np.float32),
+                np.asarray(feats["descriptors"], np.float32),
+                np.asarray(kps.mask),
+            )
+
+        self.scene = build_rendered_scene(
+            extract_np, np.random.RandomState(0),
+            width=WIDTH, height=HEIGHT, n_ref=12, kp_per_ref=1024,
+            max_ref_points=2048,
+        )
+        dmap = to_device(self.scene.map)
+        self.dmap = dmap._replace(
+            point_desc=dmap.point_desc.astype(compute_dtype)
+        )
+        self.n_class = self.scene.map.n_class
+
+        cfg = LocConfig(
+            seg_k=seg_k, min_inliers=32, threshold=8.0, num_hypotheses=128,
+            do_refinement=True, gn_iters=5, lo_rounds=1,
+            **(loc_overrides or {}),
+        )
+        self.loc = Localizer(self.dmap, make_gml_match_fn(gml, gvars), cfg)
+
+        cam_p = jnp.broadcast_to(
+            jnp.asarray(
+                [FOCAL, FOCAL, WIDTH / 2, HEIGHT / 2, 0, 0, 0, 0],
+                jnp.float32,
+            ),
+            (batch, 8),
+        )
+        cam_s = jnp.broadcast_to(
+            jnp.asarray([WIDTH, HEIGHT], jnp.float32), (batch, 2)
+        )
+        self.camera = Camera(cam_p, cam_s)
+
+        n_cls = self.n_class
+        rec_vars = self.rec_vars
+        rec = self.rec
+        sfd2, sfd2_vars = self.sfd2, self.sfd2_vars
+
+        def front(images):
+            """images [B, H, W, 3] in [0, 1] -> localizer inputs."""
+            feats = extract(
+                sfd2, sfd2_vars,
+                preprocess_image(images).astype(compute_dtype),
+                max_keypoints=N_KPTS, conf_th=1e-4,
+            )
+            kps = feats["keypoints"]
+            logits = rec.apply(
+                rec_vars,
+                feats["seg_descriptors"],
+                kps.xy / jnp.asarray([WIDTH, HEIGHT], jnp.float32) - 0.5,
+                kps.mask,
+            )["prediction"]
+            return (
+                kps.xy,
+                kps.scores.astype(jnp.float32),
+                feats["descriptors"].astype(compute_dtype),
+                kps.mask,
+                logits[:, :, :n_cls].astype(jnp.float32),
+            )
+
+        self.front = front
+        loc = self.loc
+        camera = self.camera
+
+        @jax.jit
+        def pipeline(key, images):
+            return loc._step(key, camera, *front(images))
+
+        self.pipeline = pipeline
+
+    # -- queries -----------------------------------------------------------
+    def render_queries(self, n: int, rng, noise: bool = False):
+        """n rendered query views (images + gt poses); optional photometric
+        noise (brightness/contrast/pixel) as eval-time perturbation."""
+        images, qvecs, tvecs = [], [], []
+        for _ in range(n):
+            q = self.scene.render_query(rng)
+            img = q["image"]
+            if noise:
+                img = img * (1.0 + rng.randn() * 0.05) + rng.randn() * 0.03
+                img = img + rng.randn(*img.shape).astype(np.float32) * 0.01
+                img = np.clip(img, 0.0, 1.0).astype(np.float32)
+            images.append(img)
+            qvecs.append(q["qvec"])
+            tvecs.append(q["tvec"])
+        return np.stack(images), np.stack(qvecs), np.stack(tvecs)
+
+    def recall(
+        self, n_queries: int = 128, noise: bool = True, seed: int = 11,
+        t_th: float = 0.05, q_th: float = 5.0, px_th: float = 3.0,
+    ) -> dict:
+        """Localize rendered queries; recall@(t_th, q_th) + match precision.
+
+        Precision: a matched keypoint (kpt_point_idx >= 0) is CORRECT when
+        its assigned 3D point reprojects through the ground-truth pose to
+        within ``px_th`` px of the keypoint.
+        """
+        jax, jnp = self.jax, self.jnp
+        from pram_tpu.geometry.rotations import compute_pose_error
+
+        rng = np.random.RandomState(seed)
+        n_ok = 0
+        n_total = 0
+        prec_num = 0
+        prec_den = 0
+        t_errs, q_errs = [], []
+        for start in range(0, n_queries, self.batch):
+            n = min(self.batch, n_queries - start)
+            imgs, qvecs, tvecs = self.render_queries(self.batch, rng, noise)
+            res = self.pipeline(
+                jax.random.fold_in(jax.random.PRNGKey(7), start),
+                jnp.asarray(imgs),
+            )
+            qe, te = compute_pose_error(
+                res.qvec, res.tvec, jnp.asarray(qvecs), jnp.asarray(tvecs)
+            )
+            qe, te = np.asarray(qe)[:n], np.asarray(te)[:n]
+            ok = np.asarray(res.success)[:n] & (te < t_th) & (qe < q_th)
+            n_ok += int(ok.sum())
+            n_total += n
+            t_errs.extend(te.tolist())
+            q_errs.extend(qe.tolist())
+
+            # match precision vs gt reprojection
+            kpi = np.asarray(res.kpt_point_idx)[:n]
+            kxyz = np.asarray(res.kpt_xyz, np.float64)[:n]
+            kxy, kmask = self._last_kpts(imgs, n)
+            from pram_tpu.maps.synthetic import _qvec2rotmat_np
+
+            for i in range(n):
+                R = _qvec2rotmat_np(qvecs[i])
+                matched = (kpi[i] >= 0) & kmask[i]
+                if not matched.any():
+                    continue
+                xc = kxyz[i][matched] @ R.T + tvecs[i]
+                z = np.clip(xc[:, 2], 1e-6, None)
+                uv = np.stack(
+                    [
+                        xc[:, 0] / z * FOCAL + WIDTH / 2,
+                        xc[:, 1] / z * FOCAL + HEIGHT / 2,
+                    ],
+                    -1,
+                )
+                err = np.linalg.norm(uv - kxy[i][matched], axis=-1)
+                prec_num += int((err < px_th).sum())
+                prec_den += int(matched.sum())
+        return {
+            "recall": round(n_ok / max(n_total, 1), 4),
+            "n_queries": n_total,
+            "match_precision": round(prec_num / max(prec_den, 1), 4),
+            "matches_per_query": round(prec_den / max(n_total, 1), 1),
+            "median_t_err": round(float(np.median(t_errs)), 4),
+            "median_q_err": round(float(np.median(q_errs)), 4),
+            "eval_noise": bool(noise),
+        }
+
+    def _last_kpts(self, imgs, n):
+        """Re-run the front (same compiled extraction) to recover keypoint
+        pixel positions for the precision metric."""
+        jnp = self.jnp
+        kxy, _, _, kmask, _ = self.jax.jit(self.front)(jnp.asarray(imgs))
+        return np.asarray(kxy, np.float64)[:n], np.asarray(kmask)[:n]
+
+
+def extraction_ab_check(n_images: int = 4, seed: int = 13) -> dict:
+    """Fused (Pallas stem + NMS) vs XLA extraction on the CURRENT backend.
+
+    Returns keypoint-set agreement and descriptor agreement on the common
+    set — on TPU this is the on-hardware kernel correctness witness VERDICT
+    r3 #1 asked for (interpret-mode tests missed two real Mosaic bugs in
+    round 3).
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from pram_tpu.maps.rendered import make_world, query_pose
+    from pram_tpu.models.sfd2 import ResNet4x, extract, preprocess_image
+
+    compute_dtype = (
+        jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    )
+    model_fused = ResNet4x(use_pallas_stem=True)
+    model_xla = ResNet4x(use_pallas_stem=False)
+    tmpl = model_xla.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, HEIGHT, WIDTH, 3), jnp.float32)
+    )
+    with open(SFD2_W, "rb") as f:
+        variables = serialization.from_bytes(tmpl, f.read())
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(compute_dtype)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32
+        else a,
+        variables,
+    )
+    world = make_world(np.random.RandomState(0))
+    rng = np.random.RandomState(seed)
+    imgs = np.stack(
+        [
+            world.render(*query_pose(rng), (FOCAL, FOCAL, WIDTH / 2,
+                                            HEIGHT / 2), WIDTH, HEIGHT)
+            for _ in range(n_images)
+        ]
+    ).astype(np.float32)
+    x = preprocess_image(jnp.asarray(imgs)).astype(compute_dtype)
+
+    fa = extract(model_fused, variables, x, max_keypoints=N_KPTS,
+                 conf_th=1e-4, use_pallas_nms=True)
+    fb = extract(model_xla, variables, x, max_keypoints=N_KPTS,
+                 conf_th=1e-4, use_pallas_nms=False)
+
+    agree = []
+    desc_cos = []
+    for i in range(n_images):
+        ma = np.asarray(fa["keypoints"].mask[i])
+        mb = np.asarray(fb["keypoints"].mask[i])
+        ka = np.asarray(fa["keypoints"].xy[i], np.float64)[ma]
+        kb = np.asarray(fb["keypoints"].xy[i], np.float64)[mb]
+        da = np.asarray(fa["descriptors"][i], np.float32)[ma]
+        db = np.asarray(fb["descriptors"][i], np.float32)[mb]
+        sa = {tuple(k) for k in ka.astype(int).tolist()}
+        sb = {tuple(k) for k in kb.astype(int).tolist()}
+        inter = sa & sb
+        agree.append(len(inter) / max(len(sa | sb), 1))
+        ia = {tuple(k): j for j, k in enumerate(ka.astype(int).tolist())}
+        ib = {tuple(k): j for j, k in enumerate(kb.astype(int).tolist())}
+        for kk in inter:
+            desc_cos.append(float((da[ia[kk]] * db[ib[kk]]).sum()))
+    return {
+        "kpt_set_agreement": round(float(np.mean(agree)), 4),
+        "desc_cos_min": round(float(np.min(desc_cos)), 4),
+        "desc_cos_mean": round(float(np.mean(desc_cos)), 4),
+        "backend": jax.default_backend(),
+    }
+
+
+def run_guard(jax=None, n_queries: int = 128, batch: int = 32,
+              noise: bool = True) -> dict:
+    """One-call guard: recall + precision + the extraction A/B check."""
+    g = RenderedGuard(batch=batch)
+    out = g.recall(n_queries=n_queries, noise=noise)
+    out.update(
+        {"extraction_ab": extraction_ab_check()}
+    )
+    return out

@@ -387,6 +387,7 @@ def preprocess_image(image_rgb01: jax.Array) -> jax.Array:
         "border",
         "min_keypoints",
         "nms_radius",
+        "use_pallas_nms",
     ),
 )
 def extract(
@@ -399,6 +400,7 @@ def extract(
     border: int = 4,
     min_keypoints: int = 128,
     nms_radius: int = 4,
+    use_pallas_nms: Optional[bool] = None,
 ):
     """Fused SFD2 extraction: dense forward + NMS + top-K + desc sampling.
 
@@ -420,11 +422,10 @@ def extract(
     """
     out = model.apply(variables, image)
     score_map = out["score_map"]
-    if (
-        jax.default_backend() == "tpu"
-        and score_map.shape[1] % 8 == 0
-        and nms_radius > 0
-    ):
+    nms_ok = score_map.shape[1] % 8 == 0 and nms_radius > 0
+    if use_pallas_nms is None:
+        use_pallas_nms = jax.default_backend() == "tpu"
+    if use_pallas_nms and nms_ok:
         from pram_tpu.ops.nms_pallas import simple_nms_pallas
 
         nms = simple_nms_pallas(score_map, nms_radius)

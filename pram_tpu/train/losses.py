@@ -194,3 +194,41 @@ class SeqIoU:
 
     def mean(self) -> float:
         return self.total / max(self.count, 1)
+
+
+def matching_nll_loss(
+    plan: jax.Array,  # [B, N+1, M+1] assignment plan (Sinkhorn output)
+    gt: jax.Array,  # [B, N] int: column in [0, M-1], M = dustbin, -1 = pad
+    ref_mask: jax.Array,  # [B, M] bool valid reference tokens
+    col_weight: float = 0.5,
+) -> jax.Array:
+    """Assignment NLL for matcher training (SuperGlue/IMP supervision).
+
+    The reference's GML produces the plan (nets/gml.py:20-46) and is trained
+    in the IMP repo with this objective: matched query rows pay
+    ``-log plan[i, gt_i]`` (dustbin column M for unmatched queries), and
+    reference tokens that no query matches pay the dustbin-ROW NLL, weighted
+    by ``col_weight``. Padded query rows (gt = -1) are excluded.
+    """
+    plan = jnp.clip(plan, 1e-9, None)
+    logp = jnp.log(plan)
+    mcols = plan.shape[-1] - 1
+    tgt = jnp.where(gt >= 0, gt, 0)
+    row_nll = -jnp.take_along_axis(logp[:, :-1, :], tgt[..., None], axis=-1)[
+        ..., 0
+    ]
+    valid = gt >= 0
+    loss_rows = jnp.sum(jnp.where(valid, row_nll, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1
+    )
+    matched_cols = jax.vmap(
+        lambda g, v: jnp.zeros((mcols,), bool)
+        .at[jnp.clip(g, 0, mcols - 1)]
+        .max(v & (g >= 0) & (g < mcols))
+    )(gt, valid)
+    ref_unmatched = ref_mask & ~matched_cols
+    col_nll = -logp[:, -1, :-1]
+    loss_cols = jnp.sum(jnp.where(ref_unmatched, col_nll, 0.0)) / jnp.maximum(
+        jnp.sum(ref_unmatched), 1
+    )
+    return loss_rows + col_weight * loss_cols

@@ -135,32 +135,11 @@ def main():
         jnp.asarray(m0), jnp.asarray(m1),
     )
 
+    from pram_tpu.train.losses import matching_nll_loss
+
     def loss_fn(params, d0, d1, nk0, nk1, m0, m1, gt):
         out = gml.apply({"params": params}, d0, d1, nk0, nk1, m0, m1)
-        plan = jnp.clip(out["plan"], 1e-9, None)  # [B, N+1, M+1]
-        logp = jnp.log(plan)
-        mcols = plan.shape[-1] - 1
-        # row targets: gt in [0, M-1] for matches, M for dustbin
-        tgt = jnp.where(gt >= 0, gt, 0)
-        row_nll = -jnp.take_along_axis(
-            logp[:, :-1, :], tgt[..., None], axis=-1
-        )[..., 0]
-        valid = gt >= 0
-        loss_rows = jnp.sum(jnp.where(valid, row_nll, 0.0)) / jnp.maximum(
-            jnp.sum(valid), 1
-        )
-        # unmatched REF tokens -> dustbin row N
-        matched_cols = jax.vmap(
-            lambda g, v: jnp.zeros((mcols,), bool)
-            .at[jnp.clip(g, 0, mcols - 1)]
-            .max(v & (g >= 0) & (g < mcols))
-        )(gt, valid)
-        ref_unmatched = m1 & ~matched_cols
-        col_nll = -logp[:, -1, :-1]
-        loss_cols = jnp.sum(
-            jnp.where(ref_unmatched, col_nll, 0.0)
-        ) / jnp.maximum(jnp.sum(ref_unmatched), 1)
-        return loss_rows + 0.5 * loss_cols
+        return matching_nll_loss(out["plan"], gt, m1)
 
     tx = optax.adam(args.lr)
 
