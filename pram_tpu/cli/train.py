@@ -24,6 +24,13 @@ def main(argv=None):
     ap.add_argument("--save_dir", default=None)
     ap.add_argument("--no_mesh", action="store_true",
                     help="single-device (debug)")
+    ap.add_argument(
+        "--packs", default=None, metavar="DIR",
+        help="feature-pack directory: batches come from the native C++ "
+        "sampler (data/pack_loader.py) instead of the per-item Python "
+        "path; packs are built (once) from the composed scenes and cached "
+        "as DIR/<idx>_<scene>.npz",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -65,16 +72,44 @@ def main(argv=None):
         },
     )
 
-    # example batch for init (loader emits fixed shapes)
-    loader = BatchLoader(
-        dataset,
-        batch_size=cfg.batch_size,
-        train=True,
-        num_workers=cfg.workers,
-        its_per_epoch=cfg.its_per_epoch,
-        num_hosts=jax.process_count(),
-        host_id=jax.process_index(),
-    )
+    if args.packs:
+        from pram_tpu.data.feature_pack import FeaturePack
+        from pram_tpu.data.pack_loader import PackLoader
+
+        os.makedirs(args.packs, exist_ok=True)
+        packs = []
+        for si, sub in enumerate(dataset.sub_sets):
+            fn = osp.join(args.packs, f"{si:02d}_{sub.dataset}.npz")
+            if not osp.exists(fn):
+                print(f"building feature pack {fn} ...")
+                FeaturePack.build(sub, with_descriptors=True).save(fn)
+            packs.append(FeaturePack.load(fn))
+        if not all(p.desc_dim for p in packs):
+            raise SystemExit(
+                "--packs training needs descriptors in the packs; re-export "
+                "features with descriptors and delete the stale .npz files"
+            )
+        loader = PackLoader(
+            packs,
+            [s.n_class - 1 for s in dataset.sub_sets],
+            batch_size=cfg.batch_size,
+            nfeatures=cfg.max_keypoints,
+            min_inliers=cfg.min_inliers,
+            max_inliers=cfg.max_inliers,
+            num_hosts=jax.process_count(),
+            host_id=jax.process_index(),
+        )
+    else:
+        # example batch for init (loader emits fixed shapes)
+        loader = BatchLoader(
+            dataset,
+            batch_size=cfg.batch_size,
+            train=True,
+            num_workers=cfg.workers,
+            its_per_epoch=cfg.its_per_epoch,
+            num_hosts=jax.process_count(),
+            host_id=jax.process_index(),
+        )
     example = next(iter(loader.epoch(0)))
     # descriptors must come from the cached features (export with
     # descriptors) — the with_aug in-step extraction path is

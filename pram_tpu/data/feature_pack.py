@@ -83,6 +83,13 @@ class FeaturePack:
             and np.size(data["desc"])
             else None
         )
+        # per-image (h, w) for keypoint normalization (None = caller default)
+        self.sizes = (
+            np.ascontiguousarray(data["sizes"], np.float32)
+            if "sizes" in data and data["sizes"] is not None
+            and np.size(data["sizes"])
+            else None
+        )
         self.names = list(data["names"])
 
     @property
@@ -102,7 +109,7 @@ class FeaturePack:
     ) -> "FeaturePack":
         """Pack a SceneDataset's images (labels resolved once, here)."""
         offsets = [0]
-        kpts, scores, segs, descs, names = [], [], [], [], []
+        kpts, scores, segs, descs, names, sizes = [], [], [], [], [], []
         for idx, name in enumerate(scene_dataset.img_fns):
             feat = scene_dataset._load_features(name)
             k = np.asarray(feat["keypoints"], np.float32)[:, :2]
@@ -116,6 +123,12 @@ class FeaturePack:
             segs.append(seg[:n].astype(np.int32))
             if with_descriptors and "descriptors" in feat:
                 descs.append(np.asarray(feat["descriptors"], np.float32)[:n])
+            if "image_size" in feat:
+                sizes.append(
+                    np.asarray(feat["image_size"], np.float32).reshape(-1)[:2]
+                )
+            else:
+                sizes.append(np.asarray([480.0, 640.0], np.float32))
             names.append(name)
             offsets.append(offsets[-1] + n)
         return cls(
@@ -125,6 +138,7 @@ class FeaturePack:
                 "scores": np.concatenate(scores) if scores else np.zeros(0),
                 "seg": np.concatenate(segs) if segs else np.zeros(0, np.int32),
                 "desc": np.concatenate(descs) if descs else None,
+                "sizes": np.stack(sizes) if sizes else None,
                 "names": names,
             }
         )
@@ -137,6 +151,7 @@ class FeaturePack:
             scores=self.scores,
             seg=self.seg,
             desc=self.desc if self.desc is not None else np.zeros((0, 0)),
+            sizes=self.sizes if self.sizes is not None else np.zeros((0, 0)),
             names=np.asarray(self.names),
         )
 
@@ -144,8 +159,15 @@ class FeaturePack:
     def load(cls, path: str, mmap: bool = True) -> "FeaturePack":
         data = np.load(path, mmap_mode="r" if mmap else None,
                        allow_pickle=False)
-        return cls({k: data[k] for k in ("offsets", "kpts", "scores", "seg",
-                                         "desc", "names")})
+        return cls(
+            {
+                k: data[k]
+                for k in (
+                    "offsets", "kpts", "scores", "seg", "desc", "names",
+                )
+            }
+            | {"sizes": data["sizes"] if "sizes" in data else None}
+        )
 
     # ------------------------------------------------------------------
     def sample_batch(

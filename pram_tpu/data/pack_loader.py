@@ -38,7 +38,11 @@ class PackLoader:
         image_sizes: Optional[Sequence] = None,
         seed: int = 0,
         n_threads: int = 8,
+        num_hosts: int = 1,
+        host_id: int = 0,
     ):
+        self.num_hosts = num_hosts
+        self.host_id = host_id
         assert len(packs) == len(n_clusters)
         self.packs = list(packs)
         self.batch_size = batch_size
@@ -73,7 +77,9 @@ class PackLoader:
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.RandomState(self.seed + epoch)
         order = rng.permutation(len(self.index))
+        order = order[self.host_id :: self.num_hosts]
         nb = len(order) // self.batch_size
+        desc_dim = max((p.desc_dim for p in self.packs), default=0)
         for b in range(nb):
             sel = order[b * self.batch_size : (b + 1) * self.batch_size]
             # group by scene so each scene's native sampler runs once
@@ -81,6 +87,13 @@ class PackLoader:
             out_s = np.empty((self.batch_size, self.nfeatures), np.float32)
             out_g = np.empty((self.batch_size, self.nfeatures), np.int32)
             out_nk = np.empty_like(out_k)
+            out_d = (
+                np.empty(
+                    (self.batch_size, self.nfeatures, desc_dim), np.float32
+                )
+                if desc_dim
+                else None
+            )
             by_scene: Dict[int, List[int]] = {}
             for pos, gi in enumerate(sel):
                 si, k = self.index[gi]
@@ -98,18 +111,32 @@ class PackLoader:
                 off = self.offsets[si]
                 seg = batch["gt_seg"]
                 seg = np.where(seg > 0, seg + off - 1, 0).astype(np.int32)
-                h, w = self.image_sizes[si]
-                for row, (pos, _) in enumerate(items):
+                sizes = self.packs[si].sizes
+                for row, (pos, k) in enumerate(items):
                     out_k[pos] = batch["keypoints"][row]
                     out_s[pos] = batch["scores"][row]
                     out_g[pos] = seg[row]
-                    out_nk[pos] = normalize_size(
-                        batch["keypoints"][row], (h, w)
+                    size = (
+                        sizes[k] if sizes is not None
+                        else self.image_sizes[si]
                     )
-            yield {
+                    out_nk[pos] = normalize_size(
+                        batch["keypoints"][row], size
+                    )
+                    if out_d is not None:
+                        d = self.packs[si].desc_dim
+                        if d:
+                            out_d[pos, :, :d] = batch["seg_descriptors"][row]
+                            out_d[pos, :, d:] = 0.0
+                        else:
+                            out_d[pos] = 0.0
+            out = {
                 "keypoints": out_k,
                 "scores": out_s,
                 "gt_seg": out_g,
                 "norm_keypoints": out_nk,
                 "mask": np.ones((self.batch_size, self.nfeatures), bool),
             }
+            if out_d is not None:
+                out["seg_descriptors"] = out_d
+            yield out

@@ -106,8 +106,16 @@ class _SelfAttnStats(nn.Module):
         h = self.num_heads
         hd = self.hidden_dim // h
 
-        if _common.use_fused_attention(n) and _common._attn_vmem_ok(
-            n, n, self.hidden_dim, x.dtype.itemsize
+        from pram_tpu.ops.mlp_pallas import fused_mlp_supported
+
+        if (
+            _common.use_fused_attention(n)
+            and _common._attn_vmem_ok(
+                n, n, self.hidden_dim, x.dtype.itemsize
+            )
+            and fused_mlp_supported(
+                n, self.feat_dim, self.feat_dim * 2, x.dtype.itemsize
+            )
         ):
             # fused Pallas path: packed-qkv attention kernel emits the
             # per-key received-attention sums alongside the messages
@@ -211,10 +219,16 @@ class _CrossAttnStats(nn.Module):
         to_qk = nn.Dense(self.hidden_dim, name="to_qk")
         to_v = nn.Dense(self.hidden_dim, name="to_v")
 
-        if _common.use_fused_cross_attention(
-            n0, n1
-        ) and _common._attn_vmem_ok(
-            n0, n1, self.hidden_dim, x0.dtype.itemsize
+        from pram_tpu.ops.mlp_pallas import fused_mlp_supported
+
+        if (
+            _common.use_fused_cross_attention(n0, n1)
+            and _common._attn_vmem_ok(
+                n0, n1, self.hidden_dim, x0.dtype.itemsize
+            )
+            and fused_mlp_supported(
+                n0 + n1, self.feat_dim, self.feat_dim * 2, x0.dtype.itemsize
+            )
         ):
             from pram_tpu.ops.attention_pallas import (
                 fused_cross_attention_packed,

@@ -331,9 +331,14 @@ class SelfAttentionBlock(nn.Module):
                 )
             msg = jnp.moveaxis(msg, 1, 2).reshape(b, n, self.hidden_dim)
 
-        if use_fused_attention():
-            from pram_tpu.ops.mlp_pallas import fused_residual_mlp
+        from pram_tpu.ops.mlp_pallas import (
+            fused_mlp_supported,
+            fused_residual_mlp,
+        )
 
+        if use_fused_attention() and fused_mlp_supported(
+            n, self.feat_dim, self.feat_dim * 2, x.dtype.itemsize
+        ):
             wp_, bp_ = _DenseParams(self.hidden_dim, name="proj")(
                 self.hidden_dim
             )
@@ -391,8 +396,14 @@ class CrossAttentionBlock(nn.Module):
         hd = self.hidden_dim // h
         scale = hd**-0.5
 
-        if use_fused_cross_attention(n0, n1) and _attn_vmem_ok(
-            n0, n1, self.hidden_dim, x0.dtype.itemsize
+        from pram_tpu.ops.mlp_pallas import fused_mlp_supported
+
+        if (
+            use_fused_cross_attention(n0, n1)
+            and _attn_vmem_ok(n0, n1, self.hidden_dim, x0.dtype.itemsize)
+            and fused_mlp_supported(
+                n0 + n1, self.feat_dim, self.feat_dim * 2, x0.dtype.itemsize
+            )
         ):
             cat = jnp.concatenate([x0, x1], axis=1)
             if max(n0, n1) <= 1024:

@@ -182,11 +182,88 @@ def run_scaling():
     )
 
 
+def run_input():
+    """Input-pipeline A/B (VERDICT r3 weak #4): Python per-item BatchLoader
+    vs the native C++ feature-pack sampler, on one on-disk synthetic scene
+    at the training operating point (512 of 1024 kpts, 256-d descriptors,
+    batch 32). Runs on CPU only — no device work; 'utilization' compares
+    loader throughput against the measured chip train step (10.2 steps/s)."""
+    import importlib.util
+    import tempfile
+    from pathlib import Path
+
+    spec_ = importlib.util.spec_from_file_location(
+        "t_data", os.path.join(REPO, "tests", "test_data.py")
+    )
+    t_data = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(t_data)
+
+    from pram_tpu.data.feature_pack import FeaturePack, build_native
+    from pram_tpu.data.loader import BatchLoader
+    from pram_tpu.data.pack_loader import PackLoader
+    from pram_tpu.data.scene import SceneDataset
+
+    build_native()
+    rng = np.random.RandomState(0)
+    b, nfeat = 32, 512
+    with tempfile.TemporaryDirectory() as td:
+        scene = t_data.build_disk_scene(
+            Path(td), rng, n_imgs=256, n_kpts=1024, n_points=4096,
+            n_cluster=112, desc_dim=256,
+        )
+        ds = SceneDataset(scene, nfeatures=nfeat, train=True)
+
+        def time_epochs(epoch_fn, n_epochs=3):
+            # warm epoch first (page cache + feature cache)
+            n = sum(1 for _ in epoch_fn(0))
+            t0 = time.perf_counter()
+            for e in range(1, 1 + n_epochs):
+                for _ in epoch_fn(e):
+                    pass
+            return n * n_epochs / (time.perf_counter() - t0)
+
+        results = {}
+        for workers in (0, 4):
+            loader = BatchLoader(
+                ds, batch_size=b, train=True, num_workers=workers
+            )
+            results[f"python_w{workers}"] = round(
+                time_epochs(loader.epoch), 2
+            )
+        pack = FeaturePack.build(ds, with_descriptors=True)
+        ploader = PackLoader(
+            [pack], [ds.n_class - 1], batch_size=b, nfeatures=nfeat
+        )
+        results["native_pack"] = round(time_epochs(ploader.epoch), 2)
+        chip_steps_per_s = 10.2  # measured, scripts/bench_train.py chip mode
+        print(
+            json.dumps(
+                {
+                    "metric": "input_batches_per_s",
+                    **results,
+                    "native_speedup_vs_python_w4": round(
+                        results["native_pack"] / results["python_w4"], 2
+                    ),
+                    "saturates_chip_step": {
+                        k: bool(v > chip_steps_per_s)
+                        for k, v in results.items()
+                    },
+                }
+            )
+        )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--input", action="store_true",
+                    help="input-pipeline A/B: Python vs native pack loader")
     ap.add_argument("--_worker", action="store_true")
     args = ap.parse_args()
+    if args.input:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        run_input()
+        sys.exit(0)
     if args.scaling and not args._worker:
         env = dict(os.environ)
         env.pop("PYTHONPATH", None)

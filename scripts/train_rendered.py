@@ -468,12 +468,13 @@ def fit_matcher(args):
     def norm(k):
         return normalize_kpts_like_reference(jnp.asarray(k), w_arr, h_arr)
 
-    gvars = gml.init(
-        jax.random.PRNGKey(0),
-        jnp.asarray(first[0]), jnp.asarray(first[3]),
-        norm(first[1]), norm(first[4]),
-        jnp.asarray(first[2]), jnp.asarray(first[5]),
-    )
+    with fused_attention_disabled():
+        gvars = gml.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(first[0]), jnp.asarray(first[3]),
+            norm(first[1]), norm(first[4]),
+            jnp.asarray(first[2]), jnp.asarray(first[5]),
+        )
 
     def loss_fn(params, d0, d1, nk0, nk1, m0, m1, gt):
         out = gml.apply({"params": params}, d0, d1, nk0, nk1, m0, m1)

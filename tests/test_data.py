@@ -18,7 +18,7 @@ from pram_tpu.maps.colmap_io import (
 
 
 def build_disk_scene(tmp_path, rng, name="synth", n_imgs=6, n_kpts=200,
-                     n_points=120, n_cluster=4):
+                     n_points=120, n_cluster=4, desc_dim=32):
     root = tmp_path / name
     feat_dir = root / "feats"
     os.makedirs(feat_dir)
@@ -50,7 +50,7 @@ def build_disk_scene(tmp_path, rng, name="synth", n_imgs=6, n_kpts=200,
             {
                 "keypoints": kpts.astype(np.float32),
                 "scores": rng.rand(n_kpts).astype(np.float32),
-                "descriptors": rng.randn(n_kpts, 32).astype(np.float32),
+                "descriptors": rng.randn(n_kpts, desc_dim).astype(np.float32),
                 "image_size": np.array([480, 640]),
             },
         )
