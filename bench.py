@@ -13,13 +13,20 @@ Prints ONE JSON line:
 
 - value: MEDIAN of 3 timed runs (relay-chip variance is real: round-2
   measured 301 vs 360 for the same build); all runs are in "runs".
-- recall_5cm5deg_gml: rendered synthetic queries with known ground-truth
-  poses localized through the SAME compiled engine and the SAME GML
-  matcher (fused Pallas attention/Sinkhorn/MLP kernels) that produce the
-  fps number — the matcher weights are fitted to the synthetic scene by
-  scripts/train_synthetic_gml.py (weights/gml_synthetic.msgpack), so a
-  Mosaic lowering/numerics bug in any fused kernel surfaces here as a
-  recall drop (loc_by_rec_eval.py:272-279's first bucket).
+- recall_5cm5deg_gml: descriptor-injected synthetic queries with known
+  ground-truth poses localized through the SAME compiled engine and the
+  SAME GML matcher (fused Pallas attention/Sinkhorn/MLP kernels) that
+  produce the fps number — the matcher weights are fitted to the synthetic
+  scene by scripts/train_synthetic_gml.py (weights/gml_synthetic.msgpack).
+  Certifies the matcher/recognition/PnP/refinement kernels on hardware;
+  extraction is bypassed (descriptors injected).
+- recall_5cm5deg_image: rendered query IMAGES through the full pipeline
+  (SFD2 Pallas stem/NMS -> SegNetViT -> GML -> PnP) with every model
+  fitted to the rendered world (scripts/train_rendered.py) — this is the
+  guard that certifies the EXTRACTION kernels on hardware (VERDICT r3 #1):
+  128 queries, eval-time photometric noise, match precision alongside
+  (image_guard dict), and extraction_ab = fused-vs-XLA keypoint/descriptor
+  parity on the current backend.
 - value_full_sweep: the seg_k=10 worst case (every candidate landmark
   matched + PnP-solved, reference multimap3d.py:114-239) so regressions in
   the full sweep are tracked.
@@ -29,7 +36,11 @@ Prints ONE JSON line:
 
 vs_baseline divides by 250 frames/sec/chip: BASELINE.json's north star is
 ">=2000 query frames/sec on v5e-8" — a POD target, i.e. 250/chip x 8-chip
-data-parallel scaling (verified on the virtual mesh + dryrun gate). The
+data-parallel scaling. Pod-level numbers quoted anywhere in this repo are
+PROJECTIONS: per-chip fps is measured on real hardware; the x8 factor
+comes from virtual-mesh SPMD scaling + HLO collective accounting
+(scripts/exp_dist_take.py) — ICI itself is unmeasured in this
+single-chip environment. The
 per-chip reading (2000/chip) is physically impossible for this workload:
 SFD2 at 480x640 is ~125 GFLOP/frame dense-equivalent, so 2000 fps/chip
 would need ~250 TFLOP/s, above v5e's ~197 TFLOP/s bf16 peak, before the
@@ -330,23 +341,39 @@ def main():
         2,
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "7scenes_relocalization_throughput",
-                "value": round(fps, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / 250.0, 4),
-                "runs": runs,
-                "recall_5cm5deg_gml": round(recall, 4),
-                "gml_trained_weights": gml_trained,
-                "rec_trained_weights": rec_trained,
-                "value_full_sweep": fps_k10,
-                "value_adaptive": fps_adaptive,
-                "value_loc_only_k1": fps_k1_loc,
-            }
-        )
-    )
+    out = {
+        "metric": "7scenes_relocalization_throughput",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 250.0, 4),
+        "runs": runs,
+        "recall_5cm5deg_gml": round(recall, 4),
+        "gml_trained_weights": gml_trained,
+        "rec_trained_weights": rec_trained,
+        "value_full_sweep": fps_k10,
+        "value_adaptive": fps_adaptive,
+        "value_loc_only_k1": fps_k1_loc,
+    }
+
+    # ---- image-level guard (VERDICT r3 #1/#7): rendered query IMAGES
+    # through the full pipeline — the SFD2 extraction kernels (Pallas
+    # stem/convpair/NMS) run ON HARDWARE inside the recall path, with the
+    # whole stack (SFD2-lite, GML, SegNetViT nc113 at the benched 256-d
+    # config) fitted to the rendered world by scripts/train_rendered.py.
+    # 128 queries, eval-time photometric noise, match precision reported;
+    # plus the fused-vs-XLA extraction A/B parity check.
+    from pram_tpu.engine import rendered_guard
+
+    if rendered_guard.weights_present():
+        guard = rendered_guard.RenderedGuard(batch=batch)
+        img_metrics = guard.recall(n_queries=128, noise=True)
+        out["recall_5cm5deg_image"] = img_metrics.pop("recall")
+        out["image_guard"] = img_metrics
+        out["extraction_ab"] = rendered_guard.extraction_ab_check()
+    else:
+        out["recall_5cm5deg_image"] = None
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

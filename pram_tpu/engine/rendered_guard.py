@@ -129,10 +129,12 @@ class RenderedGuard:
                 np.asarray(kps.mask),
             )
 
+        self.cache_dir = os.path.join(REPO, ".bench_cache")
         self.scene = build_rendered_scene(
             extract_np, np.random.RandomState(0),
             width=WIDTH, height=HEIGHT, n_ref=12, kp_per_ref=1024,
             max_ref_points=2048,
+            image_cache=os.path.join(self.cache_dir, "ref_views.npz"),
         )
         dmap = to_device(self.scene.map)
         self.dmap = dmap._replace(
@@ -197,21 +199,34 @@ class RenderedGuard:
         self.pipeline = pipeline
 
     # -- queries -----------------------------------------------------------
-    def render_queries(self, n: int, rng, noise: bool = False):
-        """n rendered query views (images + gt poses); optional photometric
-        noise (brightness/contrast/pixel) as eval-time perturbation."""
+    def _queries_raw(self, n: int, seed: int):
+        """n rendered query views (deterministic in seed; disk-cached —
+        rendering is pure numpy, ~1 s/view, and never touches the device)."""
+        fn = os.path.join(self.cache_dir, f"queries_s{seed}_n{n}.npz")
+        if os.path.exists(fn):
+            d = np.load(fn)
+            return d["images"], d["qvecs"], d["tvecs"]
+        rng = np.random.RandomState(seed)
         images, qvecs, tvecs = [], [], []
         for _ in range(n):
             q = self.scene.render_query(rng)
-            img = q["image"]
-            if noise:
-                img = img * (1.0 + rng.randn() * 0.05) + rng.randn() * 0.03
-                img = img + rng.randn(*img.shape).astype(np.float32) * 0.01
-                img = np.clip(img, 0.0, 1.0).astype(np.float32)
-            images.append(img)
+            images.append(q["image"])
             qvecs.append(q["qvec"])
             tvecs.append(q["tvec"])
-        return np.stack(images), np.stack(qvecs), np.stack(tvecs)
+        out = np.stack(images), np.stack(qvecs), np.stack(tvecs)
+        os.makedirs(self.cache_dir, exist_ok=True)
+        np.savez_compressed(fn, images=out[0], qvecs=out[1], tvecs=out[2])
+        return out
+
+    @staticmethod
+    def apply_noise(images: np.ndarray, rng) -> np.ndarray:
+        """Eval-time photometric perturbation (brightness/contrast/pixel)."""
+        out = np.empty_like(images)
+        for i, img in enumerate(images):
+            img = img * (1.0 + rng.randn() * 0.05) + rng.randn() * 0.03
+            img = img + rng.randn(*img.shape).astype(np.float32) * 0.01
+            out[i] = np.clip(img, 0.0, 1.0)
+        return out
 
     def recall(
         self, n_queries: int = 128, noise: bool = True, seed: int = 11,
@@ -226,7 +241,11 @@ class RenderedGuard:
         jax, jnp = self.jax, self.jnp
         from pram_tpu.geometry.rotations import compute_pose_error
 
-        rng = np.random.RandomState(seed)
+        imgs_all, qvecs_all, tvecs_all = self._queries_raw(n_queries, seed)
+        if noise:
+            imgs_all = self.apply_noise(
+                imgs_all, np.random.RandomState(seed + 1)
+            )
         n_ok = 0
         n_total = 0
         prec_num = 0
@@ -234,7 +253,17 @@ class RenderedGuard:
         t_errs, q_errs = [], []
         for start in range(0, n_queries, self.batch):
             n = min(self.batch, n_queries - start)
-            imgs, qvecs, tvecs = self.render_queries(self.batch, rng, noise)
+            sl = slice(start, start + n)
+            imgs, qvecs, tvecs = imgs_all[sl], qvecs_all[sl], tvecs_all[sl]
+            if n < self.batch:
+                pad = self.batch - n
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+                qvecs = np.concatenate(
+                    [qvecs, np.repeat(qvecs[-1:], pad, 0)]
+                )
+                tvecs = np.concatenate(
+                    [tvecs, np.repeat(tvecs[-1:], pad, 0)]
+                )
             res = self.pipeline(
                 jax.random.fold_in(jax.random.PRNGKey(7), start),
                 jnp.asarray(imgs),

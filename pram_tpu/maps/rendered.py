@@ -378,6 +378,7 @@ def build_rendered_scene(
     kp_per_ref: int = 1024,
     seg_grid=(6, 6),
     max_ref_points: Optional[int] = 2048,
+    image_cache: Optional[str] = None,
 ) -> RenderedScene:
     """Build a PackedMap by running the extractor on rendered ref views.
 
@@ -398,9 +399,21 @@ def build_rendered_scene(
     world = make_world(rng, seg_grid)
     cam = (focal, focal, width / 2, height / 2)
     poses = ref_poses(n_ref, rng)
-    images = np.stack(
-        [world.render(R, t, cam, width, height) for R, t in poses]
-    ).astype(np.float32)
+    # rendering is pure-numpy and deterministic (textures/poses fixed by
+    # rng) — an optional cache skips the ~1 s/view ray cast on warm runs;
+    # extraction below always runs on the CURRENT device (never cached)
+    import os
+
+    if image_cache is not None and os.path.exists(image_cache):
+        images = np.load(image_cache)["images"]
+        assert images.shape == (n_ref, height, width, 3), "stale image cache"
+    else:
+        images = np.stack(
+            [world.render(R, t, cam, width, height) for R, t in poses]
+        ).astype(np.float32)
+        if image_cache is not None:
+            os.makedirs(os.path.dirname(image_cache), exist_ok=True)
+            np.savez_compressed(image_cache, images=images)
     kpts, scores, descs, mask = extract_np(images)
     desc_dim = descs.shape[-1]
 

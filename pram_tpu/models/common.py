@@ -267,13 +267,19 @@ class SelfAttentionBlock(nn.Module):
                 # measured SLOWER: 388.6 -> 369.7 fps — the monolithic
                 # program starves cross-program DMA overlap; see
                 # ROUND_NOTES negative results.)
-                from pram_tpu.ops.attention_pallas import (
-                    fused_self_attention_proj,
-                )
+                # Routed through the custom-VJP wrapper so DIFFERENTIATED
+                # traces (training) keep the kernel forward and get a
+                # recompute-XLA backward (ops/train_vjp.py).
+                from pram_tpu.ops.train_vjp import self_attention_proj
 
-                msg = fused_self_attention_proj(
-                    x, wp, bp, cos, sin, mask_to_bias(mask, b, n),
-                    scale, h, splits=attn_sizes,
+                if cos is None:
+                    cos_a = jnp.zeros((b, n, hd), x.dtype)
+                    sin_a = cos_a
+                else:
+                    cos_a, sin_a = cos, sin
+                msg = self_attention_proj(
+                    x, wp, bp, cos_a, sin_a, mask_to_bias(mask, b, n),
+                    scale, h, tuple(attn_sizes), cos is not None,
                 ).astype(x.dtype)
             elif bounds is None:
                 qkv = (x @ wp.astype(x.dtype)) + bp.astype(x.dtype)
@@ -331,10 +337,8 @@ class SelfAttentionBlock(nn.Module):
                 )
             msg = jnp.moveaxis(msg, 1, 2).reshape(b, n, self.hidden_dim)
 
-        from pram_tpu.ops.mlp_pallas import (
-            fused_mlp_supported,
-            fused_residual_mlp,
-        )
+        from pram_tpu.ops.mlp_pallas import fused_mlp_supported
+        from pram_tpu.ops.train_vjp import residual_mlp
 
         if use_fused_attention() and fused_mlp_supported(
             n, self.feat_dim, self.feat_dim * 2, x.dtype.itemsize
@@ -349,7 +353,8 @@ class SelfAttentionBlock(nn.Module):
             w3_, b3_ = _DenseParams(self.feat_dim, name="mlp_3")(
                 self.feat_dim * 2
             )
-            return fused_residual_mlp(
+            # custom-VJP wrapper: kernel forward, recompute-XLA backward
+            return residual_mlp(
                 x, msg, wp_, bp_, w0_, b0_, g_, be_, w3_, b3_
             )
 

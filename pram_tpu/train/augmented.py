@@ -48,12 +48,19 @@ def make_augmented_train_step(
     norm_desc: bool = False,
     jitter_brightness: float = 0.5,
     jitter_contrast: float = 0.5,
+    compute_dtype=None,
 ):
     """Train step over raw images + dataset keypoints.
 
     Batch dict: ``image [B,H,W,3]`` in [0,1] (H, W divisible by 8),
     ``keypoints [B,N,2]``, ``norm_keypoints [B,N,2]``, ``gt_seg [B,N]``,
     ``mask [B,N]``.
+
+    ``compute_dtype``: mixed-precision training — parameters/optimizer stay
+    f32 masters, the recognition forward+backward run with activations and
+    param casts in this dtype (bf16 on TPU halves the matmul cost and lets
+    the fused attention/MLP kernels carry the training forward via their
+    custom-VJP wrappers, ops/train_vjp.py); loss/softmax stay f32.
     """
     tx = make_optimizer(cfg)
     frozen_vars = jax.tree_util.tree_map(
@@ -93,13 +100,23 @@ def make_augmented_train_step(
             key, batch["image"], batch["keypoints"]
         )
         descs = jax.lax.stop_gradient(descs)
+        nk = batch["norm_keypoints"]
+        if compute_dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(compute_dtype)
+                if a.dtype == jnp.float32
+                else a,
+                params,
+            )
+            descs = descs.astype(compute_dtype)
+            nk = nk.astype(compute_dtype)
         out = rec_model.apply(
             {"params": params},
             descs,
-            batch["norm_keypoints"],
+            nk,
             batch.get("mask"),
         )
-        logits = out["prediction"]
+        logits = out["prediction"].astype(jnp.float32)
         loss = seg_loss_weighted(
             logits, batch["gt_seg"], batch.get("mask"),
             weight_background=cfg.weight_background,
@@ -108,16 +125,14 @@ def make_augmented_train_step(
         return loss, {"loss": loss, "acc_corr": corr, "acc_incorr": incorr}
 
     def step(state: TrainState, key, batch: Dict[str, jax.Array]):
-        from pram_tpu.models.common import fused_attention_disabled
-
-        # the recognition model sits on the diff path, so it must trace the
-        # XLA attention (Pallas kernels are forward-only); the frozen SFD2
-        # forward inside loss_fn carries no tangents (stop_gradient'ed
-        # params), so its fused stem/NMS kernels are untouched primal ops
-        with fused_attention_disabled():
-            (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params, key, batch)
+        # the recognition model differentiates through the fused kernels via
+        # their custom-VJP wrappers (ops/train_vjp.py): kernel forward,
+        # recompute-XLA backward. The frozen SFD2 forward carries no
+        # tangents (stop_gradient'ed params), so its fused stem/NMS kernels
+        # are untouched primal ops.
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, key, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["lr"] = lr_schedule(cfg)(state.iteration)
