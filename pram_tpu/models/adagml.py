@@ -370,6 +370,7 @@ class AdaGML(nn.Module):
 
         stopped = jnp.zeros((b,), bool)
         stop_layer = jnp.full((b,), cfg.n_layers - 1, jnp.int32)
+        confs0, confs1 = [], []
 
         for ni in range(cfg.n_layers):
             sa = _SelfAttnStats(
@@ -390,6 +391,8 @@ class AdaGML(nn.Module):
             pool = PoolingLayer(cfg.hidden_dim, name=f"pooling_{ni}")
             conf0 = pool(nx0, jnp.stack([s00, s01], axis=-1))
             conf1 = pool(nx1, jnp.stack([s11, s10], axis=-1))
+            confs0.append(conf0)
+            confs1.append(conf1)
 
             # freeze descriptors for batches that already stopped
             keep = stopped[:, None, None]
@@ -447,6 +450,11 @@ class AdaGML(nn.Module):
             "mask0": mask0,
             "mask1": mask1,
             "stop_layer": stop_layer,
+            # per-layer pooling confidences [L, B, N]: the training target
+            # for the matchability supervision (the hard pruning thresholds
+            # pass no gradient, so the heads need their own loss)
+            "confidences0": jnp.stack(confs0, axis=0),
+            "confidences1": jnp.stack(confs1, axis=0),
         }
 
 

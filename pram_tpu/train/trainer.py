@@ -114,15 +114,12 @@ def make_train_step(
         return loss, {"loss": loss, "acc_corr": corr, "acc_incorr": incorr}
 
     def step(state: TrainState, batch: Dict[str, jax.Array]):
-        from pram_tpu.models.common import fused_attention_disabled
-
-        # the fused Pallas attention kernels are forward-only: the
-        # differentiated region must trace the XLA path (the frozen-SFD2
-        # augmentation forward outside loss_fn keeps its fused kernels)
-        with fused_attention_disabled():
-            (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params, batch)
+        # the recognizers' fused attention/MLP kernels differentiate via
+        # their custom-VJP wrappers (kernel forward, recompute-XLA
+        # backward, ops/train_vjp.py) — no XLA-only override needed
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch)
         updates, opt_state = tx.update(
             grads, state.opt_state, state.params
         )

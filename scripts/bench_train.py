@@ -72,7 +72,17 @@ def run_chip():
         "scores": jnp.ones((b, n), jnp.float32),
     }
     state = init_train_state(rec, cfg, batch)
-    step = make_augmented_train_step(rec, extractor, evars, cfg)
+    # bf16 mixed precision: f32 master params, kernel-forward training via
+    # the custom-VJP wrappers (ops/train_vjp.py). Override with
+    # BENCH_TRAIN_DTYPE=f32 to measure the old all-f32 XLA path.
+    train_dtype = (
+        None
+        if os.environ.get("BENCH_TRAIN_DTYPE") == "f32"
+        else jnp.bfloat16
+    )
+    step = make_augmented_train_step(
+        rec, extractor, evars, cfg, compute_dtype=train_dtype
+    )
 
     key = jax.random.PRNGKey(7)
     t_c0 = time.perf_counter()
@@ -111,6 +121,7 @@ def run_chip():
                 "batch": b,
                 "tokens": n,
                 "with_augmentation": True,
+                "compute_dtype": "f32" if train_dtype is None else "bf16",
                 "backend": jax.default_backend(),
             }
         )
