@@ -532,7 +532,8 @@ def refine_projection_core(
     )
 
     if jax.default_backend() == "tpu" and refine_nn_supported(
-        kpts.shape[0], pdesc.shape[0]
+        kpts.shape[0], pdesc.shape[0], descs.shape[-1],
+        descs.dtype.itemsize,
     ):
         # fused VMEM kernel: the XLA formulation materializes several
         # [N, Pr] f32 tensors in HBM (~0.5 GB/batch at bench shape)

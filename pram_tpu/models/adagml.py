@@ -59,6 +59,10 @@ class AdaGMLConfig:
     with_sinkhorn: bool = True
     stop_ratio: float = 0.95
     adaptive: bool = True  # disable to run as plain GML with pooling heads
+    # rematerialize each layer under autodiff: training at the Aachen eval
+    # shape (4096/2048 tokens) would otherwise save ~2.4 GB of attention
+    # probabilities PER LAYER for the backward
+    remat: bool = False
 
 
 def confidence_threshold(layer_index: int, n_layers: int) -> float:
@@ -372,8 +376,10 @@ class AdaGML(nn.Module):
         stop_layer = jnp.full((b,), cfg.n_layers - 1, jnp.int32)
         confs0, confs1 = [], []
 
+        SA = nn.remat(_SelfAttnStats) if cfg.remat else _SelfAttnStats
+        CA = nn.remat(_CrossAttnStats) if cfg.remat else _CrossAttnStats
         for ni in range(cfg.n_layers):
-            sa = _SelfAttnStats(
+            sa = SA(
                 feat_dim=cfg.hidden_dim,
                 hidden_dim=cfg.hidden_dim,
                 num_heads=cfg.num_heads,
@@ -381,7 +387,7 @@ class AdaGML(nn.Module):
             )
             nx0, s00 = sa(x0, enc0, mask0)
             nx1, s11 = sa(x1, enc1, mask1)
-            nx0, nx1, s01, s10 = _CrossAttnStats(
+            nx0, nx1, s01, s10 = CA(
                 feat_dim=cfg.hidden_dim,
                 hidden_dim=cfg.hidden_dim,
                 num_heads=cfg.num_heads,

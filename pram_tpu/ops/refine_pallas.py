@@ -113,8 +113,27 @@ def _refine_kernel(q_ref, p_ref, qrows_ref, prows_ref, sc_ref, out_ref,
             out_ref[0, :, 3:4] = keep.astype(jnp.float32)
 
 
-def refine_nn_supported(n: int, p: int) -> bool:
-    return n % 8 == 0 and (p % 1024 == 0 or p * n * 4 <= (8 << 20))
+def _pick_pblk(n: int, p: int, dd: int, itemsize: int):
+    """Largest point-block whose VMEM residents fit: the [n, pblk] f32
+    similarity tile dominates (the r3 gate ignored n and OOM'd at the
+    Aachen 4096-query shape: 4096 x 1024 x 4 = 16.7 MB > the 16 MB limit)."""
+    budget = 12 << 20
+    fixed = n * dd * itemsize + n * 8 * 4 + n * 8 * 4  # q descs + row tables
+    for pblk in (p, 4096, 2048, 1024, 512, 256, 128):
+        if pblk > p or p % pblk:
+            continue
+        # the kernel stacks ~2.5 [n, pblk] f32 temporaries (similarity +
+        # pixel-distance gate + merge scratch; measured 19.09 MB scoped at
+        # n=4096, pblk=512 before this factor)
+        sim = int(2.5 * n * pblk * 4)
+        pres = pblk * dd * itemsize + 8 * pblk * 4
+        if fixed + sim + pres <= budget:
+            return pblk
+    return None
+
+
+def refine_nn_supported(n: int, p: int, dd: int = 128, itemsize: int = 2) -> bool:
+    return n % 8 == 0 and _pick_pblk(n, p, dd, itemsize) is not None
 
 
 def refine_nn_pallas(
@@ -133,10 +152,13 @@ def refine_nn_pallas(
     NN of refine_projection_core without the [N, P] HBM intermediates."""
     n, dd = descs.shape
     p = pdesc.shape[0]
-    pblk = p if p * n * 4 <= (8 << 20) else 1024
-    pblocks = p // pblk if p % pblk == 0 else 1
-    if pblocks == 1:
-        pblk = p
+    pblk = _pick_pblk(n, p, dd, descs.dtype.itemsize)
+    if pblk is None:
+        raise ValueError(
+            f"refine_nn_pallas: no point block of p={p} fits VMEM at n={n} "
+            "— gate call sites with refine_nn_supported()"
+        )
+    pblocks = p // pblk
 
     qrows = jnp.concatenate(
         [

@@ -76,15 +76,21 @@ def main():
     )
 
     ada = AdaGML(AdaGMLConfig())  # 9 layers, 256 hidden, adaptive pooling
-    avars = cast_tree(
-        ada.init(
-            jax.random.PRNGKey(2),
-            jnp.zeros((1, 8, 128), jnp.float32),
-            jnp.zeros((1, 8, 128), jnp.float32),
-            jnp.zeros((1, 8, 2), jnp.float32),
-            jnp.zeros((1, 8, 2), jnp.float32),
-        )
-    )
+    atmpl = ada.init(
+        jax.random.PRNGKey(2),
+        jnp.zeros((1, 8, 128), jnp.float32),
+        jnp.zeros((1, 8, 128), jnp.float32),
+        jnp.zeros((1, 8, 2), jnp.float32),
+        jnp.zeros((1, 8, 2), jnp.float32),
+    )["params"]
+    ada_weights = os.path.join(_REPO, "weights", "adagml_aachen.msgpack")
+    ada_trained = os.path.exists(ada_weights)
+    if ada_trained:
+        from flax import serialization
+
+        with open(ada_weights, "rb") as f:
+            atmpl = serialization.from_bytes(atmpl, f.read())
+    avars = cast_tree({"params": atmpl})
 
     # Aachen-shaped synthetic map: 512 landmarks, 2048-kpt VRF frames
     scene = make_synthetic_scene(
@@ -161,26 +167,162 @@ def main():
         jax.block_until_ready(res.qvec)
         runs.append(round(batch * iters / (time.perf_counter() - t0), 2))
 
+    out = {
+        "metric": "aachen_shape_relocalization_throughput",
+        "value": float(np.median(runs)),
+        "unit": "frames/sec",
+        "runs": runs,
+        "batch": batch,
+        "n_kpts": n_kpts,
+        "n_class": n_cluster + 1,
+        "matcher": "adagml",
+        "adagml_trained_weights": ada_trained,
+        "map": "row-sharded",
+        "first_call_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+    }
     stats = jax.devices()[0].memory_stats() or {}
-    hbm_gb = round(stats.get("peak_bytes_in_use", 0) / 2**30, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "aachen_shape_relocalization_throughput",
-                "value": float(np.median(runs)),
-                "unit": "frames/sec",
-                "runs": runs,
-                "batch": batch,
-                "n_kpts": n_kpts,
-                "n_class": n_cluster + 1,
-                "matcher": "adagml",
-                "map": "row-sharded",
-                "peak_hbm_gb": hbm_gb,
-                "first_call_s": round(compile_s, 1),
-                "backend": jax.default_backend(),
-            }
+    if stats:
+        out["peak_hbm_gb"] = round(
+            stats.get("peak_bytes_in_use", 0) / 2**30, 3
         )
-    )
+
+    # ---- correctness at the Aachen shape (VERDICT r3 #2): recall + match
+    # precision through the SAME compiled localize path as the fps number,
+    # with the TRAINED AdaGML (scripts/train_aachen_adagml.py) and eval-time
+    # keypoint + descriptor noise. Candidate routing uses ground-truth
+    # logits: the witness targeted here is the 4096-token matcher stack
+    # (tiled attention + in-kernel pooling stats) and PnP at scale.
+    if ada_trained:
+        from pram_tpu.geometry.rotations import compute_pose_error
+        from pram_tpu.maps.synthetic import _qvec2rotmat_np
+
+        qrng = np.random.RandomState(11)
+        queries = [
+            scene.render_query(
+                qrng, noise_px=0.5, desc_noise=0.05, max_kpts=n_kpts
+            )
+            for _ in range(batch * 4)
+        ]
+        n_ok = n_tot = prec_num = prec_den = 0
+        t_list, q_list = [], []
+        for s0 in range(0, len(queries), batch):
+            qs = queries[s0 : s0 + batch]
+            q_kpts = jnp.asarray(np.stack([q["keypoints"] for q in qs]))
+            q_descs = jnp.asarray(
+                np.stack([q["descriptors"] for q in qs])
+            ).astype(compute_dtype)
+            q_scores = jnp.asarray(np.stack([q["scores"] for q in qs]))
+            q_mask = jnp.asarray(np.stack([q["mask"] for q in qs]))
+            gt_seg = np.stack([q["gt_seg"] for q in qs])
+            cls = np.where(gt_seg >= 0, gt_seg + 1, 0)
+            logits = np.full(
+                (batch, n_kpts, n_cluster + 1), -10.0, np.float32
+            )
+            np.put_along_axis(logits, cls[..., None], 10.0, axis=2)
+            res = loc.localize_batch(
+                jax.random.fold_in(jax.random.PRNGKey(7), s0), camera,
+                q_kpts, q_scores, q_descs, q_mask, jnp.asarray(logits),
+            )
+            qe, te = compute_pose_error(
+                res.qvec, res.tvec,
+                jnp.asarray(np.stack([q["qvec"] for q in qs])),
+                jnp.asarray(np.stack([q["tvec"] for q in qs])),
+            )
+            qe, te = np.asarray(qe), np.asarray(te)
+            ok = np.asarray(res.success) & (te < 0.25) & (qe < 2.0)
+            n_ok += int(ok.sum())
+            n_tot += batch
+            t_list.extend(te.tolist())
+            q_list.extend(qe.tolist())
+            # precision: assigned 3D points must reproject near the kpt
+            kpi = np.asarray(res.kpt_point_idx)
+            kxyz = np.asarray(res.kpt_xyz, np.float64)
+            kxy = np.asarray(q_kpts, np.float64)
+            km = np.asarray(q_mask)
+            for i, q in enumerate(qs):
+                R = _qvec2rotmat_np(q["qvec"])
+                t = np.asarray(q["tvec"], np.float64)
+                matched = (kpi[i] >= 0) & km[i]
+                if not matched.any():
+                    continue
+                xc = kxyz[i][matched] @ R.T + t
+                z = np.clip(xc[:, 2], 1e-6, None)
+                uv = np.stack(
+                    [
+                        xc[:, 0] / z * 900.0 + width / 2,
+                        xc[:, 1] / z * 900.0 + height / 2,
+                    ],
+                    -1,
+                )
+                err = np.linalg.norm(uv - kxy[i][matched], axis=-1)
+                prec_num += int((err < 4.0).sum())
+                prec_den += int(matched.sum())
+        out["recall_25cm2deg"] = round(n_ok / max(n_tot, 1), 4)
+        out["n_queries"] = n_tot
+        out["match_precision"] = round(prec_num / max(prec_den, 1), 4)
+        out["matches_per_query"] = round(prec_den / max(n_tot, 1), 1)
+        out["median_t_err"] = round(float(np.median(t_list)), 4)
+        out["median_q_err"] = round(float(np.median(q_list)), 4)
+
+        # ---- fused-vs-XLA matcher agreement at the 4096/2048 shape: the
+        # tiled attention + stats kernels against the einsum path, ON THIS
+        # backend (the on-chip witness interpret-mode tests can't give)
+        from pram_tpu.engine.localizer import normalize_kpts_like_reference
+        from pram_tpu.models.common import fused_attention_disabled
+        from pram_tpu.ops.matching import mutual_matches
+
+        q = queries[0]
+        fi = 0
+        f_mask = jnp.asarray(scene.map.frame_kp_mask[fi].astype(bool))[None]
+        f_desc = jnp.asarray(
+            scene.map.point_desc[
+                np.clip(scene.map.frame_point_idx[fi], 0, None)
+            ]
+        ).astype(compute_dtype)[None]
+        f_uv = jnp.asarray(scene.map.frame_kp_uv[fi])[None]
+        w_arr = jnp.asarray(float(width))
+        h_arr = jnp.asarray(float(height))
+        margs = (
+            jnp.asarray(q["descriptors"]).astype(compute_dtype)[None],
+            f_desc,
+            normalize_kpts_like_reference(
+                jnp.asarray(q["keypoints"])[None], w_arr, h_arr
+            ),
+            normalize_kpts_like_reference(f_uv, w_arr, h_arr),
+            jnp.asarray(q["mask"])[None],
+            f_mask,
+        )
+        out_fused = jax.jit(
+            lambda *a: ada.apply(avars, *a)["plan"]
+        )(*margs)
+        with fused_attention_disabled():
+            out_xla = jax.jit(
+                lambda *a: ada.apply(avars, *a)["plan"]
+            )(*margs)
+        m_f = np.asarray(mutual_matches(out_fused, 0.2).matches0[0])
+        m_x = np.asarray(mutual_matches(out_xla, 0.2).matches0[0])
+        valid = np.asarray(q["mask"])
+        out["matcher_ab_4096"] = {
+            "match_agreement": round(
+                float((m_f[valid] == m_x[valid]).mean()), 4
+            ),
+            "n_matches_fused": int((m_f[valid] >= 0).sum()),
+            "n_matches_xla": int((m_x[valid] >= 0).sum()),
+            "plan_max_abs_diff": round(
+                float(
+                    jnp.max(
+                        jnp.abs(
+                            out_fused.astype(jnp.float32)
+                            - out_xla.astype(jnp.float32)
+                        )
+                    )
+                ),
+                4,
+            ),
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

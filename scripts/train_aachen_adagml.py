@@ -14,11 +14,14 @@ uses (seed 0):
   confident iff it has a ground-truth match), mirroring the reference's
   pooling loss (nets/adagml.py:114-138 heads; IMP training).
 
-Training runs at 1024x1024 tokens (XLA attention path, b8 — the Pallas
-kernels are forward-only for cross attention) with pruning DISABLED
-(adaptive=False) so random-init heads can't destroy the matching loss;
-eval/bench then run the same weights WITH adaptive pruning at the full
-4096/2048 shape. Saves weights/adagml_aachen.msgpack.
+Training runs AT THE EVAL SHAPE — 4096 query tokens vs the full 2048-row
+VRF tables (XLA attention path with per-layer rematerialization,
+AdaGMLConfig.remat; the Pallas kernels are forward-only for cross
+attention) — because the pooling statistic (mean attention received) scales
+as 1/N: heads trained at 1024 tokens mis-rank at 4096 (measured: recall 0,
+2.6 matches/query). Pruning is DISABLED during training (adaptive=False) so
+random-init heads can't destroy the matching loss; eval/bench then run the
+same weights WITH adaptive pruning. Saves weights/adagml_aachen.msgpack.
 
 Reference: nets/adagml.py:344-374, configs/config_train_aachen_sfd2.yaml:72-74.
 """
@@ -52,10 +55,10 @@ def build_scene():
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--steps", type=int, default=600)
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--pool", type=int, default=48)
-    ap.add_argument("--tokens", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--pool", type=int, default=32)
+    ap.add_argument("--tokens", type=int, default=4096)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--conf_weight", type=float, default=0.25)
     args = ap.parse_args()
@@ -107,36 +110,17 @@ def main():
         vis = pidx[valid & (pidx >= 0)]
         counts = (inv[:, vis] >= 0).sum(-1)
         fi = int(np.argsort(counts)[::-1][rng.randint(3)])
-        # table columns: keep every matched column + random fill to ntok
-        gt_cols_full = np.where(
+        # the FULL frame table (the eval shape): gt = column or dustbin M
+        gt_cols = np.where(
             valid & (pidx >= 0), inv[fi, np.clip(pidx, 0, None)], -1
         )
-        f_mask = pmap.frame_kp_mask[fi].astype(bool)
-        matched_cols = np.unique(gt_cols_full[gt_cols_full >= 0])
-        others = np.setdiff1d(np.nonzero(f_mask)[0], matched_cols)
-        rng.shuffle(others)
-        sel = np.concatenate([matched_cols, others])[:ntok]
-        sel.sort()
-        col_of = np.full((mrows,), -1, np.int32)
-        col_of[sel] = np.arange(len(sel))
-        # gt in the SUBSAMPLED column space (ntok = dustbin, -1 = pad)
-        gt = np.where(
-            valid,
-            np.where(
-                gt_cols_full >= 0, col_of[np.clip(gt_cols_full, 0, None)],
-                ntok,
-            ),
-            -1,
-        )
-        gt = np.where((gt_cols_full >= 0) & (gt < 0), ntok, gt)  # dropped col
-        d1 = np.zeros((ntok, 128), np.float32)
-        k1 = np.zeros((ntok, 2), np.float32)
-        m1 = np.zeros((ntok,), bool)
-        d1[: len(sel)] = pmap.point_desc[pmap.frame_point_idx[fi][sel]]
-        k1[: len(sel)] = pmap.frame_kp_uv[fi][sel]
-        m1[: len(sel)] = True
+        gt = np.where(valid, np.where(gt_cols >= 0, gt_cols, mrows), -1)
+        d1 = pmap.point_desc[np.clip(pmap.frame_point_idx[fi], 0, None)]
+        k1 = pmap.frame_kp_uv[fi]
+        m1 = pmap.frame_kp_mask[fi].astype(bool)
         return (
-            q["descriptors"], q["keypoints"], q["mask"], d1, k1, m1,
+            q["descriptors"], q["keypoints"], q["mask"],
+            d1.astype(np.float32), k1.astype(np.float32), m1,
             gt.astype(np.int32),
         )
 
@@ -145,12 +129,13 @@ def main():
         return tuple(np.stack([c[i] for c in cols]) for i in range(7))
 
     first = make_batch()
-    n_gt = ((first[-1] >= 0) & (first[-1] < ntok)).sum(1)
+    n_gt = ((first[-1] >= 0) & (first[-1] < mrows)).sum(1)
     print(f"gt matches/query: {n_gt.mean():.0f} of {first[2].sum(1).mean():.0f}",
           flush=True)
 
-    # pruning off during training; pooling heads still run + get supervised
-    ada = AdaGML(AdaGMLConfig(adaptive=False))
+    # pruning off during training; pooling heads still run + get supervised;
+    # remat keeps the 4096-token backward inside HBM
+    ada = AdaGML(AdaGMLConfig(adaptive=False, remat=True))
     w_arr, h_arr = jnp.asarray(float(WIDTH)), jnp.asarray(float(HEIGHT))
 
     def norm(k):
@@ -175,10 +160,10 @@ def main():
     def loss_fn(params, d0, d1, nk0, nk1, m0, m1, gt):
         out = ada.apply({"params": params}, d0, d1, nk0, nk1, m0, m1)
         l_match = matching_nll_loss(out["plan"], gt, m1)
-        match0 = (gt >= 0) & (gt < ntok)
+        match0 = (gt >= 0) & (gt < mrows)
         matched_cols = jax.vmap(
-            lambda g, v: jnp.zeros((ntok,), bool)
-            .at[jnp.clip(g, 0, ntok - 1)]
+            lambda g, v: jnp.zeros((mrows,), bool)
+            .at[jnp.clip(g, 0, mrows - 1)]
             .max(v)
         )(gt, match0)
         l_conf = conf_bce(out["confidences0"], match0, m0) + conf_bce(
