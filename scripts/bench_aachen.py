@@ -136,7 +136,7 @@ def main():
     camera = Camera(
         jnp.broadcast_to(
             jnp.asarray(
-                [900.0, 900.0, width / 2, height / 2, 0, 0, 0, 0],
+                [500.0, 500.0, width / 2, height / 2, 0, 0, 0, 0],
                 jnp.float32,
             ),
             (batch, 8),
@@ -205,7 +205,7 @@ def main():
             for _ in range(batch * 4)
         ]
         n_ok = n_tot = prec_num = prec_den = 0
-        t_list, q_list = [], []
+        t_list, q_list, e_list = [], [], []
         for s0 in range(0, len(queries), batch):
             qs = queries[s0 : s0 + batch]
             q_kpts = jnp.asarray(np.stack([q["keypoints"] for q in qs]))
@@ -250,19 +250,21 @@ def main():
                 z = np.clip(xc[:, 2], 1e-6, None)
                 uv = np.stack(
                     [
-                        xc[:, 0] / z * 900.0 + width / 2,
-                        xc[:, 1] / z * 900.0 + height / 2,
+                        xc[:, 0] / z * 500.0 + width / 2,
+                        xc[:, 1] / z * 500.0 + height / 2,
                     ],
                     -1,
                 )
                 err = np.linalg.norm(uv - kxy[i][matched], axis=-1)
                 prec_num += int((err < 4.0).sum())
                 prec_den += int(matched.sum())
+                e_list.append(np.median(err))
         out["recall_25cm2deg"] = round(n_ok / max(n_tot, 1), 4)
         out["n_queries"] = n_tot
         out["match_precision"] = round(prec_num / max(prec_den, 1), 4)
         out["matches_per_query"] = round(prec_den / max(n_tot, 1), 1)
         out["median_t_err"] = round(float(np.median(t_list)), 4)
+        out["median_reproj_px"] = round(float(np.median(e_list)), 2)
         out["median_q_err"] = round(float(np.median(q_list)), 4)
 
         # ---- fused-vs-XLA matcher agreement at the 4096/2048 shape: the
