@@ -1,7 +1,9 @@
 """End-to-end relocalization throughput benchmark (one chip).
 
 Measures query frames/sec through the full pipeline at 7Scenes scale:
-SFD2 extraction (480x640, bf16) -> SegNetViT nc113 recognition (512 tokens)
+SFD2 extraction (480x640, int8 conv stack by default — BENCH_INT8=0 for
+bf16; the image-level guard below certifies the quantized path on
+hardware) -> SegNetViT nc113 recognition (512 tokens)
 -> candidate matching (GML, 9 layers; seg_k=1 = the reference candidate
 loop's common early-exit case, with the adaptive two-phase engine handling
 failures) -> batched PnP/RANSAC -> projection refinement.
@@ -106,7 +108,8 @@ def main():
 
     sfd2 = ResNet4x()
     img0 = jnp.zeros((batch, height, width, 3), jnp.float32)
-    sfd2_vars = cast_tree(sfd2.init(jax.random.PRNGKey(0), img0))
+    sfd2_vars_f32 = sfd2.init(jax.random.PRNGKey(0), img0)
+    sfd2_vars = cast_tree(sfd2_vars_f32)
 
     rec = SegNetViT(SegNetViTConfig(n_class=n_class))
     d0 = jnp.zeros((batch, n_kpts, 256), jnp.float32)
@@ -166,6 +169,30 @@ def main():
     )
     match_fn = make_gml_match_fn(gml, gvars)
     loc = Localizer(dmap, match_fn, cfg)
+
+    # ---- extractor: int8 inference path by default (VERDICT r3 #3 —
+    # weights-static per-channel int8 with calibrated activation scales;
+    # the MXU runs s8xs8 at 2x the bf16 rate). Correctness is gated by the
+    # image-level guard below, which runs map build AND queries through the
+    # SAME quantized path (recall_5cm5deg_image + match precision), plus
+    # exp_int8.py's float-vs-int8 A/B. BENCH_INT8=0 measures the bf16 path.
+    use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
+    if use_int8:
+        from pram_tpu.models.sfd2_int8 import quantize_extractor
+
+        calib = jnp.asarray(
+            np.random.RandomState(42)
+            .rand(4, height, width, 3)
+            .astype(np.float32)
+        )
+        sfd2, sfd2_vars = quantize_extractor(sfd2, sfd2_vars_f32, calib)
+        qp = sfd2_vars["int8"]
+        for nm in ("conv1a", "conv1b"):
+            qp[f"{nm}_kernel"] = qp[f"{nm}_kernel"].astype(compute_dtype)
+            qp[f"{nm}_bias"] = qp[f"{nm}_bias"].astype(compute_dtype)
+            qp[f"{nm}_bn"] = tuple(
+                a.astype(compute_dtype) for a in qp[f"{nm}_bn"]
+            )
 
     # ---- stage 1+2: extraction + recognition (one jit)
     @jax.jit
@@ -348,6 +375,7 @@ def main():
         "vs_baseline": round(fps / 250.0, 4),
         "runs": runs,
         "recall_5cm5deg_gml": round(recall, 4),
+        "extractor_int8": use_int8,
         "gml_trained_weights": gml_trained,
         "rec_trained_weights": rec_trained,
         "value_full_sweep": fps_k10,
@@ -365,7 +393,11 @@ def main():
     from pram_tpu.engine import rendered_guard
 
     if rendered_guard.weights_present():
-        guard = rendered_guard.RenderedGuard(batch=batch)
+        # the guard runs the SAME extractor configuration as the fps number
+        # (int8 quantized path when the headline is int8): map build AND
+        # queries go through the quantized extractor, so recall certifies
+        # the quantization on hardware, not just the float kernels
+        guard = rendered_guard.RenderedGuard(batch=batch, int8=use_int8)
         img_metrics = guard.recall(n_queries=128, noise=True)
         out["recall_5cm5deg_image"] = img_metrics.pop("recall")
         out["image_guard"] = img_metrics

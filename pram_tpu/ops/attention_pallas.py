@@ -63,6 +63,24 @@ def _rotate_half_lanes(x):
     return jnp.where(even, -left, right)
 
 
+def _attn_weights(sim_raw, scale, bias):
+    """Max-subtracted attention weights with the normalization FOLDED OUT.
+
+    Returns (e [N, M] f32 in [0, 1], inv_sum [N, 1] f32) so callers fold
+    the 1/sum normalization into the small [N, hd] message output rather
+    than paying a full [N, M] divide + cast pass. The max-subtraction stays:
+    a clamp-only variant (exp without the row max, clamped at 80) measured
+    recall-breaking on hardware with trained weights while passing every
+    interpret-mode test — don't retry it. Semantics match the old in-kernel
+    softmax exactly: an all-masked row (bias all -1e9) gives e == 1,
+    inv_sum == 1/M -> message mean(v), as the XLA path does
+    (models/common.py:153-156).
+    """
+    logits = sim_raw * scale + bias
+    e = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+    return e, 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+
+
 def _qkv_kernel(qkv_ref, cos_ref, sin_ref, bias_ref, o_ref, *rest,
                 scale, heads, hd, rotary, with_stats=False):
     """Packed-qkv masked self-attention with in-kernel rotary.
@@ -91,24 +109,27 @@ def _qkv_kernel(qkv_ref, cos_ref, sin_ref, bias_ref, o_ref, *rest,
             kf = k.astype(jnp.float32)
             q = (qf * cos + _rotate_half_lanes(q) * sin).astype(q.dtype)
             k = (kf * cos + _rotate_half_lanes(k) * sin).astype(k.dtype)
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + bias
-        logits -= jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits)
-        attn32 = e / jnp.sum(e, axis=-1, keepdims=True)
-        attn = attn32.astype(v.dtype)
-        o_ref[0, :, h * hd : (h + 1) * hd] = jnp.dot(
-            attn, v, preferred_element_type=jnp.float32
+        e, r = _attn_weights(
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            scale, bias,
+        )
+        o_ref[0, :, h * hd : (h + 1) * hd] = (
+            jnp.dot(
+                e.astype(v.dtype), v, preferred_element_type=jnp.float32
+            ) * r
         ).astype(o_ref.dtype)
         if with_stats:
             # per-key mass from VALID query rows: a rank-1 MXU contraction
             # with the query-validity row vector (0/-1e9 bias -> 0/1) —
-            # cheaper than relayouting the bias to a column
+            # cheaper than relayouting the bias to a column. The stats need
+            # the NORMALIZED attention, so this path pays the e*r pass the
+            # message output avoids.
             qv = (bias > -0.5).astype(jnp.float32)  # [1, N]
             s = jax.lax.dot_general(
-                qv, attn32, (((1,), (0,)), ((), ())),
+                qv, e * r, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [1, N]
             stat_total = s if stat_total is None else stat_total + s
@@ -150,15 +171,18 @@ def _qkv_blocked_kernel(qkv_ref, cos_ref, sin_ref, bias_ref, o_ref,
                 kf = k.astype(jnp.float32)
                 q = (qf * cos + _rotate_half_lanes(q) * sin).astype(q.dtype)
                 k = (kf * cos + _rotate_half_lanes(k) * sin).astype(k.dtype)
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale + bias_b
-            logits -= jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits)
-            attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-            o_ref[0, lo:hi, h * hd : (h + 1) * hd] = jnp.dot(
-                attn, v, preferred_element_type=jnp.float32
+            e, r = _attn_weights(
+                jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ),
+                scale, bias_b,
+            )
+            o_ref[0, lo:hi, h * hd : (h + 1) * hd] = (
+                jnp.dot(
+                    e.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32,
+                ) * r
             ).astype(o_ref.dtype)
 
 
@@ -220,21 +244,24 @@ def _qkv_tiled_kernel(qkv_ref, cos_ref, sin_ref, bias_ref, bcol_ref,
             sin_q = sin_ref[0]
             qf = q.astype(jnp.float32)
             q = (qf * cos_q + _rotate_half_lanes(q) * sin_q).astype(q.dtype)
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + bias  # [qblk, N]
-        logits -= jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits)
-        attn32 = e / jnp.sum(e, axis=-1, keepdims=True)
-        attn = attn32.astype(v.dtype)
-        o_ref[0, :, h * hd : (h + 1) * hd] = jnp.dot(
-            attn, v, preferred_element_type=jnp.float32
+        e, r = _attn_weights(
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            scale, bias,
+        )  # e [qblk, N]
+        o_ref[0, :, h * hd : (h + 1) * hd] = (
+            jnp.dot(
+                e.astype(v.dtype), v, preferred_element_type=jnp.float32
+            ) * r
         ).astype(o_ref.dtype)
         if with_stats:
-            # row validity of THIS block via the block-sliced bias column
+            # row validity of THIS block via the block-sliced bias column —
+            # a [qblk, 1] column like r, so normalization and validity fold
+            # into ONE weight column and the stats sum runs on raw e
             qv = (bcol_ref[0] > -0.5).astype(jnp.float32)  # [qblk, 1]
-            s = jnp.sum(attn32 * qv, axis=0, keepdims=True)  # [1, N]
+            s = jnp.sum(e * (qv * r), axis=0, keepdims=True)  # [1, N]
             stat_total = s if stat_total is None else stat_total + s
     if with_stats:
         stat_ref = rest[0]
@@ -472,37 +499,43 @@ def _cross_packed_kernel(
         v0 = v0_ref[0, :, s]
         v1 = v1_ref[0, :, s]
 
-        sim = jax.lax.dot_general(
-            q0, q1, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + bias1
-        sim -= jnp.max(sim, axis=-1, keepdims=True)
-        e = jnp.exp(sim)
-        attn01 = e / jnp.sum(e, axis=-1, keepdims=True)  # [N, M] f32
-        m0_ref[0, :, s] = jnp.dot(
-            attn01.astype(v1.dtype), v1, preferred_element_type=jnp.float32
+        e01, r01 = _attn_weights(
+            jax.lax.dot_general(
+                q0, q1, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            scale, bias1,
+        )  # [N, M]
+        m0_ref[0, :, s] = (
+            jnp.dot(
+                e01.astype(v1.dtype), v1, preferred_element_type=jnp.float32
+            ) * r01
         ).astype(m0_ref.dtype)
 
-        simt = jax.lax.dot_general(
-            q1, q0, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + bias0
-        simt -= jnp.max(simt, axis=-1, keepdims=True)
-        e = jnp.exp(simt)
-        attn10 = e / jnp.sum(e, axis=-1, keepdims=True)  # [M, N] f32
-        m1_ref[0, :, s] = jnp.dot(
-            attn10.astype(v0.dtype), v0, preferred_element_type=jnp.float32
+        e10, r10 = _attn_weights(
+            jax.lax.dot_general(
+                q1, q0, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            scale, bias0,
+        )  # [M, N]
+        m1_ref[0, :, s] = (
+            jnp.dot(
+                e10.astype(v0.dtype), v0, preferred_element_type=jnp.float32
+            ) * r10
         ).astype(m1_ref.dtype)
 
         if with_stats:
+            # stats need normalized attention (row weights are ROW vectors
+            # here, so 1/sum can't fold into them) — pay the e*r pass
             qv0 = (bias0 > -0.5).astype(jnp.float32)  # [1, N]
             qv1 = (bias1 > -0.5).astype(jnp.float32)  # [1, M]
             s0 = jax.lax.dot_general(
-                qv1, attn10, (((1,), (0,)), ((), ())),
+                qv1, e10 * r10, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [1, N]
             s1 = jax.lax.dot_general(
-                qv0, attn01, (((1,), (0,)), ((), ())),
+                qv0, e01 * r01, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [1, M]
             stat0_total = s0 if stat0_total is None else stat0_total + s0
@@ -531,20 +564,22 @@ def _cross_dir_kernel(
         q = qkq_ref[0, pl.dslice(qstart, qblk), s]  # [qblk, hd]
         k = qkk_ref[0, :, s]  # [M, hd]
         v = v_ref[0, :, s]
-        sim = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + bias_k  # [qblk, M]
-        sim -= jnp.max(sim, axis=-1, keepdims=True)
-        e = jnp.exp(sim)
-        attn = e / jnp.sum(e, axis=-1, keepdims=True)
-        msg_ref[0, :, s] = jnp.dot(
-            attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+        e, r = _attn_weights(
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            scale, bias_k,
+        )  # [qblk, M]
+        msg_ref[0, :, s] = (
+            jnp.dot(
+                e.astype(v.dtype), v, preferred_element_type=jnp.float32
+            ) * r
         ).astype(msg_ref.dtype)
         qv = (
             bqcol_ref[0, pl.dslice(qstart, qblk), 0:1] > -0.5
         ).astype(jnp.float32)  # [qblk, 1]
-        st = jnp.sum(attn * qv, axis=0, keepdims=True)  # [1, M]
+        st = jnp.sum(e * (qv * r), axis=0, keepdims=True)  # [1, M]
         stat_total = st if stat_total is None else stat_total + st
 
     @pl.when(j == 0)
@@ -708,15 +743,18 @@ def _self_proj_kernel(x_ref, w_ref, b_ref, cos_ref, sin_ref, bias_ref,
                 kf = k.astype(jnp.float32)
                 q = (qf * cos + _rotate_half_lanes(q) * sin).astype(q.dtype)
                 k = (kf * cos + _rotate_half_lanes(k) * sin).astype(k.dtype)
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale + bias_b
-            logits -= jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits)
-            attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-            o_ref[0, lo:hi, h * hd : (h + 1) * hd] = jnp.dot(
-                attn, v, preferred_element_type=jnp.float32
+            e, r = _attn_weights(
+                jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ),
+                scale, bias_b,
+            )
+            o_ref[0, lo:hi, h * hd : (h + 1) * hd] = (
+                jnp.dot(
+                    e.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32,
+                ) * r
             ).astype(o_ref.dtype)
 
 
@@ -795,26 +833,30 @@ def _cross_proj_kernel(x_ref, wqk_ref, bqk_ref, wv_ref, bv_ref,
         v0 = v_scratch[:n0, s]
         v1 = v_scratch[n0:, s]
 
-        sim = jax.lax.dot_general(
-            q0, q1, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + bias1
-        sim -= jnp.max(sim, axis=-1, keepdims=True)
-        e = jnp.exp(sim)
-        attn01 = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v1.dtype)
-        m_ref[0, :n0, s] = jnp.dot(
-            attn01, v1, preferred_element_type=jnp.float32
+        e, r = _attn_weights(
+            jax.lax.dot_general(
+                q0, q1, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            scale, bias1,
+        )
+        m_ref[0, :n0, s] = (
+            jnp.dot(
+                e.astype(v1.dtype), v1, preferred_element_type=jnp.float32
+            ) * r
         ).astype(m_ref.dtype)
 
-        simt = jax.lax.dot_general(
-            q1, q0, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + bias0
-        simt -= jnp.max(simt, axis=-1, keepdims=True)
-        e = jnp.exp(simt)
-        attn10 = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v0.dtype)
-        m_ref[0, n0:, s] = jnp.dot(
-            attn10, v0, preferred_element_type=jnp.float32
+        e, r = _attn_weights(
+            jax.lax.dot_general(
+                q1, q0, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            scale, bias0,
+        )
+        m_ref[0, n0:, s] = (
+            jnp.dot(
+                e.astype(v0.dtype), v0, preferred_element_type=jnp.float32
+            ) * r
         ).astype(m_ref.dtype)
 
 

@@ -72,9 +72,17 @@ def make_augmented_train_step(
     # checkpoints (f32 BN stats next to bf16 conv kernels) mean the FIRST
     # leaf can lie — take the dtype from a conv-kernel-shaped leaf
     # (ndim >= 2) instead (ADVICE r3 #5).
+    # (and int8 extractors carry s8 kernels + float scales: only FLOAT
+    # conv-kernel-shaped leaves can vote — the image must enter in the
+    # stem's float dtype either way)
     _leaves = jax.tree_util.tree_leaves(extractor_vars)
     _extractor_dtype = next(
-        (l.dtype for l in _leaves if getattr(l, "ndim", 0) >= 2),
+        (
+            l.dtype
+            for l in _leaves
+            if getattr(l, "ndim", 0) >= 2
+            and jnp.issubdtype(l.dtype, jnp.floating)
+        ),
         _leaves[0].dtype,
     )
 

@@ -80,6 +80,27 @@ def run_chip():
         if os.environ.get("BENCH_TRAIN_DTYPE") == "f32"
         else jnp.bfloat16
     )
+    # BENCH_TRAIN_INT8=1: run the in-step FROZEN SFD2 forward through the
+    # int8 inference path (models/sfd2_int8.py) — the extractor is frozen
+    # even in the reference (trainer.py:118), so quantizing it changes no
+    # trainable computation; the descriptors it feeds the recognition model
+    # match float at desc cos >= 0.9992 (tests/test_sfd2_int8.py).
+    use_int8 = os.environ.get("BENCH_TRAIN_INT8", "0") == "1"
+    if use_int8:
+        from pram_tpu.models.sfd2 import preprocess_image
+        from pram_tpu.models.sfd2_int8 import quantize_extractor
+
+        extractor, evars = quantize_extractor(
+            extractor, extractor.init(jax.random.PRNGKey(0), imgs[:1]),
+            preprocess_image(imgs[:4]),
+        )
+        qp = evars["int8"]
+        for nm in ("conv1a", "conv1b"):
+            qp[f"{nm}_kernel"] = qp[f"{nm}_kernel"].astype(compute_dtype)
+            qp[f"{nm}_bias"] = qp[f"{nm}_bias"].astype(compute_dtype)
+            qp[f"{nm}_bn"] = tuple(
+                a.astype(compute_dtype) for a in qp[f"{nm}_bn"]
+            )
     step = make_augmented_train_step(
         rec, extractor, evars, cfg, compute_dtype=train_dtype
     )
@@ -122,6 +143,7 @@ def run_chip():
                 "tokens": n,
                 "with_augmentation": True,
                 "compute_dtype": "f32" if train_dtype is None else "bf16",
+                "extractor_int8": use_int8,
                 "backend": jax.default_backend(),
             }
         )
