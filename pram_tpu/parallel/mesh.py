@@ -103,6 +103,10 @@ def shard_params_for_model_axis(mesh: Mesh, variables, min_size: int = 4096):
     partitioner propagates the shardings through the matmuls and inserts
     the all-gathers/reduces over ICI — outputs are bit-equal to the
     replicated forward (tests/test_model_axis.py).
+
+    For the explicit formulation — head-sharded attention + sharded seg
+    head under shard_map with a known, HLO-asserted collective schedule —
+    see parallel/tp.py.
     """
     assert "model" in mesh.axis_names, "mesh has no 'model' axis"
     msize = mesh.shape["model"]
