@@ -64,7 +64,30 @@ def main():
 
     sfd2 = ResNet4x()
     img0 = jnp.zeros((1, height, width, 3), jnp.float32)
-    sfd2_vars = cast_tree(sfd2.init(jax.random.PRNGKey(0), img0))
+    sfd2_vars_f32 = sfd2.init(jax.random.PRNGKey(0), img0)
+    sfd2_vars = cast_tree(sfd2_vars_f32)
+
+    # int8 conv stack by default, like bench.py (BENCH_INT8=0 for bf16).
+    # The quantized configuration is recall-certified on hardware by the
+    # image-level guard (engine/rendered_guard.py) and exp_int8.py's A/B;
+    # this bench reuses it at the 1024x768 operating point.
+    use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
+    if use_int8:
+        from pram_tpu.models.sfd2_int8 import quantize_extractor
+
+        calib = jnp.asarray(
+            np.random.RandomState(42)
+            .rand(2, height, width, 3)
+            .astype(np.float32)
+        )
+        sfd2, sfd2_vars = quantize_extractor(sfd2, sfd2_vars_f32, calib)
+        qp = sfd2_vars["int8"]
+        for nm in ("conv1a", "conv1b"):
+            qp[f"{nm}_kernel"] = qp[f"{nm}_kernel"].astype(compute_dtype)
+            qp[f"{nm}_bias"] = qp[f"{nm}_bias"].astype(compute_dtype)
+            qp[f"{nm}_bn"] = tuple(
+                a.astype(compute_dtype) for a in qp[f"{nm}_bn"]
+            )
 
     rec = SegNetViT(SegNetViTConfig(n_class=n_cluster + 1))
     rec_vars = cast_tree(
@@ -176,6 +199,7 @@ def main():
         "n_kpts": n_kpts,
         "n_class": n_cluster + 1,
         "matcher": "adagml",
+        "extractor_int8": use_int8,
         "adagml_trained_weights": ada_trained,
         "map": "row-sharded",
         "first_call_s": round(compile_s, 1),

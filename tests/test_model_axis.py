@@ -111,3 +111,50 @@ def test_shard_map_tp_matches_replicated(rng):
         jax.tree_util.tree_map(lambda s: isinstance(s, P), specs)
     )
     assert all(flat)
+
+
+def test_shard_map_tp_gradients_match_replicated(rng):
+    """TP is trainable: grads of a scalar loss through the shard_map
+    forward equal the replicated model's grads (psum backward handled by
+    shard_map's partial-value semantics), so the sharded seg head can be
+    TRAINED sharded, not just served."""
+    from pram_tpu.parallel.tp import (
+        make_tp_segnetvit_fn,
+        place_segnetvit_tp,
+    )
+
+    mesh = make_mesh(data=2, model=2)
+    cfg = SegNetViTConfig(
+        descriptor_dim=32, hidden_dim=32, output_dim=64, n_class=9,
+        n_layers=1, num_heads=2,
+    )
+    model = SegNetViT(cfg)
+    b, n = 4, 32
+    descs = jnp.asarray(rng.randn(b, n, 32).astype(np.float32))
+    nk = jnp.asarray((rng.rand(b, n, 2) * 2 - 1).astype(np.float32))
+    mask = jnp.ones((b, n), bool)
+    variables = model.init(jax.random.PRNGKey(0), descs, nk, mask)
+    tgt = jnp.asarray(rng.randn(b, n, 9).astype(np.float32))
+
+    def ref_loss(v):
+        out = model.apply(v, descs, nk, mask)["prediction"]
+        return jnp.mean((out - tgt) ** 2)
+
+    g_ref = jax.jit(jax.grad(ref_loss))(variables)
+
+    placed = place_segnetvit_tp(mesh, variables)
+    fn = make_tp_segnetvit_fn(mesh, cfg, placed)
+
+    def tp_loss(v):
+        return jnp.mean((fn(v, descs, nk, mask) - tgt) ** 2)
+
+    g_tp = jax.jit(jax.grad(tp_loss))(placed)
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_tp = dict(jax.tree_util.tree_leaves_with_path(g_tp))
+    for path, leaf in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_tp[path]), np.asarray(leaf),
+            rtol=2e-4, atol=2e-5,
+            err_msg=str(path),
+        )
