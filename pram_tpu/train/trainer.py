@@ -84,6 +84,7 @@ def make_train_step(
     cfg: TrainConfig,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    sharded_params: bool = False,
 ):
     """Build the jit-compiled DP train step.
 
@@ -93,6 +94,13 @@ def make_train_step(
 
     With a mesh, batches are sharded over the ``data`` axis and parameters
     replicated; XLA's SPMD partitioner inserts the gradient all-reduce.
+
+    With ``sharded_params=True`` (a ('data','model') mesh and a state from
+    ``init_train_state(..., mesh=mesh, param_specs=...)``), parameters AND
+    their Adam moments stay model-axis-sharded through the step: the jit
+    follows the state's input shardings instead of forcing replication, so
+    a head too large to replicate trains with 1/msize of its params +
+    optimizer state per device (tests/test_model_axis.py).
     """
     tx = make_optimizer(cfg)
 
@@ -135,8 +143,15 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
-    repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    if sharded_params:
+        # follow the state's own (model-axis) shardings; only pin the batch
+        return jax.jit(
+            step,
+            in_shardings=(None, data),
+            donate_argnums=(0,) if donate else (),
+        )
+    repl = NamedSharding(mesh, P())
     return jax.jit(
         step,
         in_shardings=(repl, data),
@@ -148,7 +163,13 @@ def make_train_step(
 def init_train_state(
     model, cfg: TrainConfig, example_batch: Dict[str, jnp.ndarray],
     rng: Optional[jax.Array] = None,
+    mesh: Optional[Mesh] = None,
+    param_specs: Any = None,
 ) -> TrainState:
+    """Fresh TrainState; with ``mesh`` + ``param_specs`` (a PartitionSpec
+    pytree matching params, e.g. parallel/tp.py:segnetvit_tp_specs),
+    parameters are placed model-axis-sharded and the Adam moments inherit
+    the sharding through ``tx.init`` (zeros_like preserves placement)."""
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     variables = model.init(
         rng,
@@ -157,6 +178,12 @@ def init_train_state(
         example_batch.get("mask"),
     )
     params = variables["params"]
+    if mesh is not None and param_specs is not None:
+        params = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            params,
+            param_specs,
+        )
     tx = make_optimizer(cfg)
     return TrainState(
         params=params,

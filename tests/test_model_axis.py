@@ -158,3 +158,68 @@ def test_shard_map_tp_gradients_match_replicated(rng):
             rtol=2e-4, atol=2e-5,
             err_msg=str(path),
         )
+
+
+def test_trainer_model_axis_sharded_state(rng):
+    """DP+TP training: params AND Adam moments stay model-axis-sharded
+    through the real train step, and the loss trajectory matches the
+    replicated DP step."""
+    from pram_tpu.parallel.tp import segnetvit_tp_specs
+    from pram_tpu.train.trainer import (
+        TrainConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    cfg = TrainConfig(batch_size=4)
+    model = SegNetViT(
+        SegNetViTConfig(
+            descriptor_dim=64, hidden_dim=64, output_dim=128, n_class=17,
+            n_layers=2, num_heads=4,
+        )
+    )
+    b, n = 4, 64
+    batch = {
+        "seg_descriptors": jnp.asarray(
+            rng.randn(b, n, 64).astype(np.float32)
+        ),
+        "norm_keypoints": jnp.asarray(
+            (rng.rand(b, n, 2) * 2 - 1).astype(np.float32)
+        ),
+        "gt_seg": jnp.asarray(rng.randint(0, 17, (b, n))),
+        "mask": jnp.ones((b, n), bool),
+    }
+
+    # replicated-DP reference trajectory
+    state_r = init_train_state(model, cfg, batch)
+    step_r = make_train_step(model, cfg, mesh=mesh, donate=False)
+    losses_r = []
+    for _ in range(3):
+        state_r, m = step_r(state_r, batch)
+        losses_r.append(float(m["loss"]))
+
+    specs = segnetvit_tp_specs(
+        init_train_state(model, cfg, batch).params, mesh.shape["model"]
+    )
+    state = init_train_state(
+        model, cfg, batch, mesh=mesh, param_specs=specs
+    )
+    # Adam moments inherited the model-axis sharding
+    mu_seg0 = state.opt_state[0].mu["seg_0"]["kernel"]
+    assert mu_seg0.addressable_shards[0].data.shape == (64, 128 // 4)
+
+    step = make_train_step(
+        model, cfg, mesh=mesh, donate=False, sharded_params=True
+    )
+    losses = []
+    for _ in range(3):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses, losses_r, rtol=1e-5)
+
+    # params are STILL sharded after stepping (no silent re-replication)
+    p_seg0 = state.params["seg_0"]["kernel"]
+    assert p_seg0.addressable_shards[0].data.shape == (64, 128 // 4)
+    mu_seg0 = state.opt_state[0].mu["seg_0"]["kernel"]
+    assert mu_seg0.addressable_shards[0].data.shape == (64, 128 // 4)
