@@ -25,6 +25,13 @@ def main(argv=None):
     ap.add_argument("--no_mesh", action="store_true",
                     help="single-device (debug)")
     ap.add_argument(
+        "--tp", type=int, default=1, metavar="N",
+        help="model-axis size: shard attention heads, the seg head, and "
+        "the optimizer state N-ways over a ('data','model') mesh "
+        "(parallel/tp.py); heads too large to replicate train with 1/N "
+        "of params+moments per device",
+    )
+    ap.add_argument(
         "--packs", default=None, metavar="DIR",
         help="feature-pack directory: batches come from the native C++ "
         "sampler (data/pack_loader.py) instead of the per-item Python "
@@ -122,13 +129,33 @@ def main(argv=None):
             "pram_tpu.train.augmented"
         )
 
-    mesh = None if args.no_mesh else make_data_mesh()
+    param_specs = None
+    if args.no_mesh:
+        mesh = None
+    elif args.tp > 1:
+        from pram_tpu.parallel.mesh import make_mesh
+        from pram_tpu.parallel.tp import segnetvit_tp_specs
+
+        mesh = make_mesh(model=args.tp)
+        abs_vars = jax.eval_shape(
+            model.init,
+            jax.random.PRNGKey(0),
+            example["seg_descriptors"],
+            example["norm_keypoints"],
+            example.get("mask"),
+        )
+        param_specs = segnetvit_tp_specs(abs_vars["params"], args.tp)
+    else:
+        mesh = make_data_mesh()
     save_dir = args.save_dir or osp.join(
         cfg.save_path,
         time.strftime("%Y%m%d_%H%M%S")
         + f"_{cfg.network}_L{cfg.layers}_nc{n_class}",
     )
-    trainer = Trainer(model, tcfg, example, save_dir=save_dir, mesh=mesh)
+    trainer = Trainer(
+        model, tcfg, example, save_dir=save_dir, mesh=mesh,
+        param_specs=param_specs,
+    )
     if cfg.resume_path:
         trainer.restore_checkpoint(cfg.resume_path)
     trainer.train(lambda epoch: loader.epoch(epoch))

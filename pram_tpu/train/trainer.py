@@ -216,14 +216,22 @@ class Trainer:
         save_dir: Optional[str] = None,
         mesh: Optional[Mesh] = None,
         log_fn: Callable[[str], None] = print,
+        param_specs: Any = None,
     ):
+        """``param_specs`` (with a ('data','model') mesh): PartitionSpec
+        pytree for model-axis-sharded params + optimizer state (e.g.
+        parallel/tp.py:segnetvit_tp_specs)."""
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
         self.save_dir = save_dir
         self.log_fn = log_fn
-        self.state = init_train_state(model, cfg, example_batch)
-        self.step_fn = make_train_step(model, cfg, mesh)
+        self.state = init_train_state(
+            model, cfg, example_batch, mesh=mesh, param_specs=param_specs
+        )
+        self.step_fn = make_train_step(
+            model, cfg, mesh, sharded_params=param_specs is not None
+        )
         self._ckptr = None
         if save_dir is not None:
             os.makedirs(save_dir, exist_ok=True)

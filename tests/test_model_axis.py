@@ -223,3 +223,54 @@ def test_trainer_model_axis_sharded_state(rng):
     assert p_seg0.addressable_shards[0].data.shape == (64, 128 // 4)
     mu_seg0 = state.opt_state[0].mu["seg_0"]["kernel"]
     assert mu_seg0.addressable_shards[0].data.shape == (64, 128 // 4)
+
+
+def test_trainer_class_sharded_checkpoint(rng, tmp_path):
+    """Trainer with param_specs: epoch runs sharded, orbax checkpoint
+    round-trips the sharded state (the --tp CLI path, cli/train.py)."""
+    from pram_tpu.parallel.tp import segnetvit_tp_specs
+    from pram_tpu.train.trainer import TrainConfig, Trainer
+
+    mesh = make_mesh(data=2, model=4)
+    cfg = TrainConfig(batch_size=4, epochs=1)
+    model = SegNetViT(
+        SegNetViTConfig(
+            descriptor_dim=32, hidden_dim=32, output_dim=64, n_class=9,
+            n_layers=1, num_heads=4,
+        )
+    )
+    b, n = 4, 32
+    batch = {
+        "seg_descriptors": jnp.asarray(
+            rng.randn(b, n, 32).astype(np.float32)
+        ),
+        "norm_keypoints": jnp.asarray(
+            (rng.rand(b, n, 2) * 2 - 1).astype(np.float32)
+        ),
+        "gt_seg": jnp.asarray(rng.randint(0, 9, (b, n))),
+        "mask": jnp.ones((b, n), bool),
+    }
+    specs = segnetvit_tp_specs(
+        jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            batch["seg_descriptors"], batch["norm_keypoints"],
+            batch["mask"],
+        )["params"],
+        4,
+    )
+    tr = Trainer(
+        model, cfg, batch, save_dir=str(tmp_path / "run"), mesh=mesh,
+        param_specs=specs, log_fn=lambda s: None,
+    )
+    tr.train(lambda epoch: iter([batch, batch]))
+    p = tr.state.params["seg_0"]["kernel"]
+    assert p.addressable_shards[0].data.shape == (32, 64 // 4)
+
+    tr2 = Trainer(
+        model, cfg, batch, save_dir=str(tmp_path / "run"), mesh=mesh,
+        param_specs=specs, log_fn=lambda s: None,
+    )
+    tr2.restore_checkpoint(str(tmp_path / "run" / "best"))
+    p2 = tr2.state.params["seg_0"]["kernel"]
+    assert p2.addressable_shards[0].data.shape == (32, 64 // 4)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p))
