@@ -73,6 +73,23 @@ def main():
     )
     print(f"sfd2 extract (fused) : {timeit(ex, images):8.2f} ms/b{batch}")
 
+    from pram_tpu.models.sfd2_int8 import quantize_extractor
+
+    q_model, q_vars = quantize_extractor(
+        sfd2, sfd2.init(jax.random.PRNGKey(0), img0), images[:4].astype(jnp.float32)
+    )
+    qp = q_vars["int8"]
+    for nm in ("conv1a", "conv1b"):
+        qp[f"{nm}_kernel"] = qp[f"{nm}_kernel"].astype(dt)
+        qp[f"{nm}_bias"] = qp[f"{nm}_bias"].astype(dt)
+        qp[f"{nm}_bn"] = tuple(a.astype(dt) for a in qp[f"{nm}_bn"])
+    ex8 = jax.jit(
+        lambda im: extract(
+            q_model, q_vars, im, max_keypoints=n_kpts, conf_th=1e-4
+        )["descriptors"]
+    )
+    print(f"sfd2 extract (int8)  : {timeit(ex8, images):8.2f} ms/b{batch}")
+
     out = fwd(images)
     sm = out["score_map"]
     nmsj = jax.jit(lambda s: simple_nms(s, 4))
