@@ -178,7 +178,7 @@ def main():
     # exp_int8.py's float-vs-int8 A/B. BENCH_INT8=0 measures the bf16 path.
     use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
     if use_int8:
-        from pram_tpu.models.sfd2_int8 import quantize_extractor
+        from pram_tpu.models.sfd2_int8 import cast_stem, quantize_extractor
 
         calib = jnp.asarray(
             np.random.RandomState(42)
@@ -186,13 +186,7 @@ def main():
             .astype(np.float32)
         )
         sfd2, sfd2_vars = quantize_extractor(sfd2, sfd2_vars_f32, calib)
-        qp = sfd2_vars["int8"]
-        for nm in ("conv1a", "conv1b"):
-            qp[f"{nm}_kernel"] = qp[f"{nm}_kernel"].astype(compute_dtype)
-            qp[f"{nm}_bias"] = qp[f"{nm}_bias"].astype(compute_dtype)
-            qp[f"{nm}_bn"] = tuple(
-                a.astype(compute_dtype) for a in qp[f"{nm}_bn"]
-            )
+        sfd2_vars = cast_stem(sfd2_vars, compute_dtype)
 
     # ---- stage 1+2: extraction + recognition (one jit)
     @jax.jit

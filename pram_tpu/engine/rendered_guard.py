@@ -98,7 +98,10 @@ class RenderedGuard:
             self.sfd2_vars = cast(serialization.from_bytes(tmpl, f.read()))
         if int8:
             from pram_tpu.maps.rendered import query_pose
-            from pram_tpu.models.sfd2_int8 import quantize_extractor
+            from pram_tpu.models.sfd2_int8 import (
+                cast_stem,
+                quantize_extractor,
+            )
 
             world = make_world(np.random.RandomState(0))
             crng = np.random.RandomState(99)
@@ -126,13 +129,7 @@ class RenderedGuard:
             )
             # only the float stem runs in the compute dtype (fused Pallas
             # stem kernel); int8 weights + f32 scales/biases stay as-is
-            qp = self.sfd2_vars["int8"]
-            for nm in ("conv1a", "conv1b"):
-                qp[f"{nm}_kernel"] = qp[f"{nm}_kernel"].astype(compute_dtype)
-                qp[f"{nm}_bias"] = qp[f"{nm}_bias"].astype(compute_dtype)
-                qp[f"{nm}_bn"] = tuple(
-                    a.astype(compute_dtype) for a in qp[f"{nm}_bn"]
-                )
+            self.sfd2_vars = cast_stem(self.sfd2_vars, compute_dtype)
         self.int8 = int8
 
         self.rec = SegNetViT(SegNetViTConfig(n_class=113))

@@ -386,3 +386,19 @@ def quantize_extractor(
     qp["convDb_b"] = bdb
 
     return Int8ResNet4x(outdim=model.outdim), {"int8": qp}
+
+
+def cast_stem(qvars: Dict, dtype) -> Dict:
+    """Cast the float stem (conv1a/conv1b stays un-quantized — thin-input,
+    precision-sensitive) to the pipeline's compute dtype in place.
+
+    The int8 tensors (s8 weights, f32 scales) are left alone; only the
+    stem kernel/bias/BN run in ``dtype`` so the image enters the network
+    the same way as the bf16 path.
+    """
+    qp = qvars["int8"]
+    for nm in ("conv1a", "conv1b"):
+        qp[f"{nm}_kernel"] = qp[f"{nm}_kernel"].astype(dtype)
+        qp[f"{nm}_bias"] = qp[f"{nm}_bias"].astype(dtype)
+        qp[f"{nm}_bn"] = tuple(a.astype(dtype) for a in qp[f"{nm}_bn"])
+    return qvars

@@ -73,7 +73,7 @@ def main():
     # this bench reuses it at the 1024x768 operating point.
     use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
     if use_int8:
-        from pram_tpu.models.sfd2_int8 import quantize_extractor
+        from pram_tpu.models.sfd2_int8 import cast_stem, quantize_extractor
 
         calib = jnp.asarray(
             np.random.RandomState(42)
@@ -81,13 +81,7 @@ def main():
             .astype(np.float32)
         )
         sfd2, sfd2_vars = quantize_extractor(sfd2, sfd2_vars_f32, calib)
-        qp = sfd2_vars["int8"]
-        for nm in ("conv1a", "conv1b"):
-            qp[f"{nm}_kernel"] = qp[f"{nm}_kernel"].astype(compute_dtype)
-            qp[f"{nm}_bias"] = qp[f"{nm}_bias"].astype(compute_dtype)
-            qp[f"{nm}_bn"] = tuple(
-                a.astype(compute_dtype) for a in qp[f"{nm}_bn"]
-            )
+        sfd2_vars = cast_stem(sfd2_vars, compute_dtype)
 
     rec = SegNetViT(SegNetViTConfig(n_class=n_cluster + 1))
     rec_vars = cast_tree(

@@ -88,19 +88,13 @@ def run_chip():
     use_int8 = os.environ.get("BENCH_TRAIN_INT8", "0") == "1"
     if use_int8:
         from pram_tpu.models.sfd2 import preprocess_image
-        from pram_tpu.models.sfd2_int8 import quantize_extractor
+        from pram_tpu.models.sfd2_int8 import cast_stem, quantize_extractor
 
         extractor, evars = quantize_extractor(
             extractor, extractor.init(jax.random.PRNGKey(0), imgs[:1]),
             preprocess_image(imgs[:4]),
         )
-        qp = evars["int8"]
-        for nm in ("conv1a", "conv1b"):
-            qp[f"{nm}_kernel"] = qp[f"{nm}_kernel"].astype(compute_dtype)
-            qp[f"{nm}_bias"] = qp[f"{nm}_bias"].astype(compute_dtype)
-            qp[f"{nm}_bn"] = tuple(
-                a.astype(compute_dtype) for a in qp[f"{nm}_bn"]
-            )
+        evars = cast_stem(evars, compute_dtype)
     step = make_augmented_train_step(
         rec, extractor, evars, cfg, compute_dtype=train_dtype
     )

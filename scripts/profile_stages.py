@@ -73,16 +73,12 @@ def main():
     )
     print(f"sfd2 extract (fused) : {timeit(ex, images):8.2f} ms/b{batch}")
 
-    from pram_tpu.models.sfd2_int8 import quantize_extractor
+    from pram_tpu.models.sfd2_int8 import cast_stem, quantize_extractor
 
     q_model, q_vars = quantize_extractor(
         sfd2, sfd2.init(jax.random.PRNGKey(0), img0), images[:4].astype(jnp.float32)
     )
-    qp = q_vars["int8"]
-    for nm in ("conv1a", "conv1b"):
-        qp[f"{nm}_kernel"] = qp[f"{nm}_kernel"].astype(dt)
-        qp[f"{nm}_bias"] = qp[f"{nm}_bias"].astype(dt)
-        qp[f"{nm}_bn"] = tuple(a.astype(dt) for a in qp[f"{nm}_bn"])
+    q_vars = cast_stem(q_vars, dt)
     ex8 = jax.jit(
         lambda im: extract(
             q_model, q_vars, im, max_keypoints=n_kpts, conf_th=1e-4
