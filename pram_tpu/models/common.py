@@ -140,6 +140,20 @@ def use_fused_cross_attention(n0: int, n1: int) -> bool:
     return fused_cross_attention_supported(n0, n1)
 
 
+def int8_mlp_enabled() -> bool:
+    """Trace-time flag for the int8 residual-MLP kernel (PRAM_INT8_MLP=1).
+
+    Inference-only: the int8 kernel is forward-only (no VJP), so
+    differentiating a trace with the flag on fails loudly at grad time.
+    Activation quantization is per-row dynamic; accuracy is gated by the
+    image-level recall guard, which runs whatever configuration the bench
+    runs (engine/rendered_guard.py).
+    """
+    import os
+
+    return os.environ.get("PRAM_INT8_MLP", "0") == "1"
+
+
 def mask_to_bias(mask: Optional[jax.Array], b: int, n: int) -> jax.Array:
     """Bool validity mask -> f32 additive attention bias (0 / -1e9)."""
     if mask is None:
@@ -353,6 +367,18 @@ class SelfAttentionBlock(nn.Module):
             w3_, b3_ = _DenseParams(self.feat_dim, name="mlp_3")(
                 self.feat_dim * 2
             )
+            if int8_mlp_enabled():
+                from pram_tpu.ops.mlp_pallas import (
+                    fused_mlp_int8_supported,
+                    fused_residual_mlp_int8,
+                )
+
+                if fused_mlp_int8_supported(
+                    n, self.feat_dim, self.feat_dim * 2, x.dtype.itemsize
+                ):
+                    return fused_residual_mlp_int8(
+                        x, msg, wp_, bp_, w0_, b0_, g_, be_, w3_, b3_
+                    )
             # custom-VJP wrapper: kernel forward, recompute-XLA backward
             return residual_mlp(
                 x, msg, wp_, bp_, w0_, b0_, g_, be_, w3_, b3_
@@ -456,9 +482,25 @@ class CrossAttentionBlock(nn.Module):
             w3_, b3_ = _DenseParams(self.feat_dim, name="mlp_3")(
                 self.feat_dim * 2
             )
-            out = fused_residual_mlp(
-                cat, m_cat, wp_, bp_, w0_, b0_, g_, be_, w3_, b3_
-            )
+            use_i8 = int8_mlp_enabled()
+            if use_i8:
+                from pram_tpu.ops.mlp_pallas import (
+                    fused_mlp_int8_supported,
+                    fused_residual_mlp_int8,
+                )
+
+                use_i8 = fused_mlp_int8_supported(
+                    n0 + n1, self.feat_dim, self.feat_dim * 2,
+                    x0.dtype.itemsize,
+                )
+            if use_i8:
+                out = fused_residual_mlp_int8(
+                    cat, m_cat, wp_, bp_, w0_, b0_, g_, be_, w3_, b3_
+                )
+            else:
+                out = fused_residual_mlp(
+                    cat, m_cat, wp_, bp_, w0_, b0_, g_, be_, w3_, b3_
+                )
             if cat_in:
                 return out, None
             return out[:, :n0], out[:, n0:]

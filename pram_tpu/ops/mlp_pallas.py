@@ -77,6 +77,70 @@ def _mlp_kernel(
     o_ref[0] = x + out
 
 
+def _quant_rows(a):
+    """Per-row symmetric int8: returns (s8 values, f32 [N,1] row scales).
+
+    Row-dynamic activation quantization (the standard transformer-inference
+    scheme): exact s32 accumulation on the MXU at 2x the bf16 rate, error
+    bounded per token by its own magnitude.
+    """
+    af = a.astype(jnp.float32)
+    rs = jnp.maximum(jnp.max(jnp.abs(af), -1, keepdims=True), 1e-6) / 127.0
+    q = jnp.round(af * (1.0 / rs)).astype(jnp.int8)
+    return q, rs
+
+
+def _mlp_kernel_i8(
+    x_ref, m_ref, wp_ref, wps_ref, bp_ref,
+    w0x_ref, w0m_ref, w0s_ref, b0_ref,
+    g_ref, be_ref, w3_ref, w3s_ref, b3_ref, o_ref, *, eps,
+):
+    """Int8 variant of _mlp_kernel: per-row dynamic activation scales,
+    per-output-column weight scales (computed at trace time outside),
+    s8xs8->s32 MXU matmuls, f32 dequantize into the same LN/gelu tail."""
+    x = x_ref[0]  # [N, D]
+    m = m_ref[0]
+
+    mq, mrs = _quant_rows(m)
+    pm = (
+        jax.lax.dot_general(
+            mq, wp_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * mrs * wps_ref[:, :]
+        + bp_ref[:, :]
+    ).astype(x.dtype)
+
+    xq, xrs = _quant_rows(x)
+    pmq, pmrs = _quant_rows(pm)
+    h = (
+        jax.lax.dot_general(
+            xq, w0x_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * xrs
+        + jax.lax.dot_general(
+            pmq, w0m_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * pmrs
+    ) * w0s_ref[:, :] + b0_ref[:, :]  # [N, 2D] f32
+
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    hc = h - mu
+    var = jnp.mean(hc * hc, axis=-1, keepdims=True)
+    hn = hc * jax.lax.rsqrt(var + eps)
+    hn = hn * g_ref[:, :] + be_ref[:, :]
+    y = hn * 0.5 * (1.0 + _erf(hn * (1.0 / jnp.sqrt(2.0)).astype(hn.dtype)))
+
+    yq, yrs = _quant_rows(y)
+    out = (
+        jax.lax.dot_general(
+            yq, w3_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * yrs * w3s_ref[:, :]
+        + b3_ref[:, :]
+    ).astype(x.dtype)
+    o_ref[0] = x + out
+
+
 _VMEM_BUDGET = 14 << 20  # headroom under Mosaic's 16 MB scoped-vmem limit
 
 
@@ -165,3 +229,83 @@ def fused_residual_mlp(
         ln_scale[None].astype(f32), ln_bias[None].astype(f32),
         w3.astype(x.dtype), b3[None].astype(f32),
     )
+
+
+def _quant_cols(w):
+    """Per-output-column symmetric int8 weights: (s8 [K,N], f32 [1,N])."""
+    wf = w.astype(jnp.float32)
+    ws = jnp.maximum(jnp.max(jnp.abs(wf), 0, keepdims=True), 1e-6) / 127.0
+    return jnp.round(wf / ws).astype(jnp.int8), ws
+
+
+def fused_residual_mlp_int8(
+    x: jax.Array,  # [B, N, D]
+    msg: jax.Array,  # [B, N, D] pre-proj attention messages
+    wp: jax.Array, bp: jax.Array,
+    w0: jax.Array, b0: jax.Array,
+    ln_scale: jax.Array, ln_bias: jax.Array,
+    w3: jax.Array, b3: jax.Array,
+    *,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """Int8 inference variant of fused_residual_mlp.
+
+    Weights are quantized per output column at trace level (one VPU pass
+    per step over each weight matrix, amortized across the batch);
+    activations are quantized per row inside the kernel. The three matmuls
+    run s8xs8->s32 on the MXU at 2x the bf16 rate; LN/gelu stay f32.
+    Forward-only (no VJP) — enable for inference via
+    models/common.py:int8_mlp_enabled, never under differentiation.
+    """
+    b, n, d = x.shape
+    dh = w0.shape[-1]
+    f32 = jnp.float32
+    nt = _pick_nt(n, d, dh, x.dtype.itemsize)
+    if nt is None or nt % 32 != 0:
+        raise ValueError(
+            f"fused_residual_mlp_int8: no 32-aligned token tile of n={n} "
+            f"(d={d}, dh={dh}) fits — gate with fused_mlp_int8_supported()"
+        )
+    wpq, wps = _quant_cols(wp)
+    w0q, w0s = _quant_cols(w0)
+    w3q, w3s = _quant_cols(w3)
+
+    def spec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (1,) + shape, lambda i, j, nd=nd: (i, j) + (0,) * (nd - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    def wspec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            shape, lambda i, j, nd=nd: (0,) * nd, memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        partial(_mlp_kernel_i8, eps=eps),
+        grid=(b, n // nt),
+        in_specs=[
+            spec(nt, d), spec(nt, d),
+            wspec(d, d), wspec(1, d), wspec(1, d),
+            wspec(d, dh), wspec(d, dh), wspec(1, dh), wspec(1, dh),
+            wspec(1, dh), wspec(1, dh),
+            wspec(dh, d), wspec(1, d), wspec(1, d),
+        ],
+        out_specs=spec(nt, d),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        interpret=interpret,
+    )(
+        x, msg,
+        wpq, wps, bp[None].astype(f32),
+        w0q[:d], w0q[d:], w0s, b0[None].astype(f32),
+        ln_scale[None].astype(f32), ln_bias[None].astype(f32),
+        w3q, w3s, b3[None].astype(f32),
+    )
+
+
+def fused_mlp_int8_supported(n: int, d: int, dh: int, itemsize: int) -> bool:
+    nt = _pick_nt(n, d, dh, itemsize)
+    return nt is not None and nt % 32 == 0
