@@ -140,6 +140,15 @@ def use_fused_cross_attention(n0: int, n1: int) -> bool:
     return fused_cross_attention_supported(n0, n1)
 
 
+def int8_proj_enabled() -> bool:
+    """Trace-time flag for int8 in-kernel attention projections
+    (PRAM_INT8_PROJ=1). Inference-only, like int8_mlp_enabled; accuracy
+    gated by the image-level recall guard."""
+    import os
+
+    return os.environ.get("PRAM_INT8_PROJ", "0") == "1"
+
+
 def int8_mlp_enabled() -> bool:
     """Trace-time flag for the int8 residual-MLP kernel (PRAM_INT8_MLP=1).
 
@@ -286,15 +295,26 @@ class SelfAttentionBlock(nn.Module):
                 # recompute-XLA backward (ops/train_vjp.py).
                 from pram_tpu.ops.train_vjp import self_attention_proj
 
-                if cos is None:
-                    cos_a = jnp.zeros((b, n, hd), x.dtype)
-                    sin_a = cos_a
+                if int8_proj_enabled():
+                    # inference-only int8 projection (no VJP wrapper)
+                    from pram_tpu.ops.attention_pallas import (
+                        fused_self_attention_proj,
+                    )
+
+                    msg = fused_self_attention_proj(
+                        x, wp, bp, cos, sin, mask_to_bias(mask, b, n),
+                        scale, h, tuple(attn_sizes), int8=True,
+                    ).astype(x.dtype)
                 else:
-                    cos_a, sin_a = cos, sin
-                msg = self_attention_proj(
-                    x, wp, bp, cos_a, sin_a, mask_to_bias(mask, b, n),
-                    scale, h, tuple(attn_sizes), cos is not None,
-                ).astype(x.dtype)
+                    if cos is None:
+                        cos_a = jnp.zeros((b, n, hd), x.dtype)
+                        sin_a = cos_a
+                    else:
+                        cos_a, sin_a = cos, sin
+                    msg = self_attention_proj(
+                        x, wp, bp, cos_a, sin_a, mask_to_bias(mask, b, n),
+                        scale, h, tuple(attn_sizes), cos is not None,
+                    ).astype(x.dtype)
             elif bounds is None:
                 qkv = (x @ wp.astype(x.dtype)) + bp.astype(x.dtype)
                 msg = attend(qkv, cos, sin, mask, n).astype(x.dtype)
@@ -453,7 +473,7 @@ class CrossAttentionBlock(nn.Module):
                 m_cat = fused_cross_attention_proj(
                     cat, wqk, bqk, wv, bv,
                     mask_to_bias(mask0, b, n0), mask_to_bias(mask1, b, n1),
-                    scale, h, n0,
+                    scale, h, n0, int8=int8_proj_enabled(),
                 ).astype(x0.dtype)
             else:
                 from pram_tpu.ops.attention_pallas import (

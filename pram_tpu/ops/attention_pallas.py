@@ -711,17 +711,12 @@ def fused_cross_attention_packed(
 # ---------------------------------------------------------------------------
 
 
-def _self_proj_kernel(x_ref, w_ref, b_ref, cos_ref, sin_ref, bias_ref,
-                      o_ref, qkv_scratch, *, scale, heads, hd, rotary,
-                      splits):
-    """x [1, N, Din] -> (in-kernel qkv projection) -> blocked attention."""
+def _blocked_self_attention(qkv_scratch, cos_ref, sin_ref, bias_ref,
+                            o_ref, *, scale, heads, hd, rotary, splits):
+    """Blocked (per-side) masked self-attention over a projected
+    qkv_scratch — shared tail of the bf16 and int8 projection kernels."""
     d = heads * hd
     n_total = bias_ref.shape[-1]
-    x = x_ref[0]
-    qkv_scratch[...] = (
-        jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32)
-        + b_ref[...]
-    ).astype(qkv_scratch.dtype)
     bias = bias_ref[0]  # [1, N]
     edges = [0]
     for s in splits:
@@ -758,14 +753,53 @@ def _self_proj_kernel(x_ref, w_ref, b_ref, cos_ref, sin_ref, bias_ref,
             ).astype(o_ref.dtype)
 
 
+def _self_proj_kernel(x_ref, w_ref, b_ref, cos_ref, sin_ref, bias_ref,
+                      o_ref, qkv_scratch, *, scale, heads, hd, rotary,
+                      splits):
+    """x [1, N, Din] -> (in-kernel qkv projection) -> blocked attention."""
+    x = x_ref[0]
+    qkv_scratch[...] = (
+        jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...]
+    ).astype(qkv_scratch.dtype)
+    _blocked_self_attention(
+        qkv_scratch, cos_ref, sin_ref, bias_ref, o_ref,
+        scale=scale, heads=heads, hd=hd, rotary=rotary, splits=splits,
+    )
+
+
+def _self_proj_kernel_i8(x_ref, w_ref, ws_ref, b_ref, cos_ref, sin_ref,
+                         bias_ref, o_ref, qkv_scratch, *, scale, heads,
+                         hd, rotary, splits):
+    """Int8 qkv projection: per-row dynamic activation scales, per-column
+    weight scales (ws_ref), s8xs8->s32 MXU matmul, f32 dequantize; the
+    attention tail is identical to the bf16 variant."""
+    from pram_tpu.ops.mlp_pallas import _quant_rows
+
+    xq, xrs = _quant_rows(x_ref[0])
+    qkv_scratch[...] = (
+        jax.lax.dot_general(
+            xq, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * xrs * ws_ref[...]
+        + b_ref[...]
+    ).astype(qkv_scratch.dtype)
+    _blocked_self_attention(
+        qkv_scratch, cos_ref, sin_ref, bias_ref, o_ref,
+        scale=scale, heads=heads, hd=hd, rotary=rotary, splits=splits,
+    )
+
+
 def fused_self_attention_proj(
     x, w_qkv, b_qkv, cos, sin, key_bias, scale, heads, splits=None,
-    *, interpret=False,
+    *, int8=False, interpret=False,
 ):
     """Self-attention with the (permuted) qkv projection fused in-kernel.
 
     ``w_qkv``/``b_qkv``: output of :func:`permute_qkv_kernel`. ``splits``
     (optional) runs block-diagonal attention over the token concatenation.
+    ``int8`` runs the projection matmul s8xs8->s32 (weights quantized per
+    column here, activations per row in-kernel) — inference only.
     """
     b, n, din = x.shape
     d3 = w_qkv.shape[-1]
@@ -784,14 +818,27 @@ def fused_self_attention_proj(
         return pl.BlockSpec(shape, lambda i, nd=nd: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    if int8:
+        from pram_tpu.ops.mlp_pallas import _quant_cols
+
+        wq, ws = _quant_cols(w_qkv)
+        kern = partial(_self_proj_kernel_i8, scale=scale, heads=heads,
+                       hd=hd, rotary=rotary, splits=tuple(splits))
+        w_args = (wq, ws)
+        w_specs = [wspec(din, d3), wspec(1, d3)]
+    else:
+        kern = partial(_self_proj_kernel, scale=scale, heads=heads, hd=hd,
+                       rotary=rotary, splits=tuple(splits))
+        w_args = (w_qkv.astype(x.dtype),)
+        w_specs = [wspec(din, d3)]
+
     return pl.pallas_call(
-        partial(_self_proj_kernel, scale=scale, heads=heads, hd=hd,
-                rotary=rotary, splits=tuple(splits)),
+        kern,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, din), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            wspec(din, d3),
+            *w_specs,
             wspec(1, d3),
             pl.BlockSpec((1, n, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -806,24 +853,15 @@ def fused_self_attention_proj(
         scratch_shapes=[pltpu.VMEM((n, d3), x.dtype)],
         interpret=interpret,
     )(
-        x, w_qkv.astype(x.dtype), b_qkv[None].astype(jnp.float32),
+        x, *w_args, b_qkv[None].astype(jnp.float32),
         cos.astype(jnp.float32), sin.astype(jnp.float32), bias,
     )
 
 
-def _cross_proj_kernel(x_ref, wqk_ref, bqk_ref, wv_ref, bv_ref,
-                       b0_ref, b1_ref, m_ref, qk_scratch, v_scratch,
-                       *, scale, heads, hd, n0):
-    """x(cat) [1, N, D] -> in-kernel to_qk/to_v -> symmetric cross attn."""
-    x = x_ref[0]
-    qk_scratch[...] = (
-        jnp.dot(x, wqk_ref[...], preferred_element_type=jnp.float32)
-        + bqk_ref[...]
-    ).astype(qk_scratch.dtype)
-    v_scratch[...] = (
-        jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
-        + bv_ref[...]
-    ).astype(v_scratch.dtype)
+def _symmetric_cross_attention(qk_scratch, v_scratch, b0_ref, b1_ref,
+                               m_ref, *, scale, heads, hd, n0):
+    """Symmetric shared-QK cross attention over projected scratches —
+    shared tail of the bf16 and int8 projection kernels."""
     bias0 = b0_ref[0]  # [1, N0]
     bias1 = b1_ref[0]  # [1, N1]
     for h in range(heads):
@@ -860,9 +898,56 @@ def _cross_proj_kernel(x_ref, wqk_ref, bqk_ref, wv_ref, bv_ref,
         ).astype(m_ref.dtype)
 
 
+def _cross_proj_kernel(x_ref, wqk_ref, bqk_ref, wv_ref, bv_ref,
+                       b0_ref, b1_ref, m_ref, qk_scratch, v_scratch,
+                       *, scale, heads, hd, n0):
+    """x(cat) [1, N, D] -> in-kernel to_qk/to_v -> symmetric cross attn."""
+    x = x_ref[0]
+    qk_scratch[...] = (
+        jnp.dot(x, wqk_ref[...], preferred_element_type=jnp.float32)
+        + bqk_ref[...]
+    ).astype(qk_scratch.dtype)
+    v_scratch[...] = (
+        jnp.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+        + bv_ref[...]
+    ).astype(v_scratch.dtype)
+    _symmetric_cross_attention(
+        qk_scratch, v_scratch, b0_ref, b1_ref, m_ref,
+        scale=scale, heads=heads, hd=hd, n0=n0,
+    )
+
+
+def _cross_proj_kernel_i8(x_ref, wqk_ref, wqks_ref, bqk_ref, wv_ref,
+                          wvs_ref, bv_ref, b0_ref, b1_ref, m_ref,
+                          qk_scratch, v_scratch, *, scale, heads, hd, n0):
+    """Int8 to_qk/to_v projections (one shared per-row activation quant),
+    bf16 attention tail identical to the float variant."""
+    from pram_tpu.ops.mlp_pallas import _quant_rows
+
+    xq, xrs = _quant_rows(x_ref[0])
+    qk_scratch[...] = (
+        jax.lax.dot_general(
+            xq, wqk_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * xrs * wqks_ref[...]
+        + bqk_ref[...]
+    ).astype(qk_scratch.dtype)
+    v_scratch[...] = (
+        jax.lax.dot_general(
+            xq, wv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * xrs * wvs_ref[...]
+        + bv_ref[...]
+    ).astype(v_scratch.dtype)
+    _symmetric_cross_attention(
+        qk_scratch, v_scratch, b0_ref, b1_ref, m_ref,
+        scale=scale, heads=heads, hd=hd, n0=n0,
+    )
+
+
 def fused_cross_attention_proj(
     x_cat, w_qk, b_qk, w_v, b_v, bias0, bias1, scale, heads, n0,
-    *, interpret=False,
+    *, int8=False, interpret=False,
 ):
     """Symmetric shared-QK cross attention with in-kernel projections.
 
@@ -880,14 +965,35 @@ def fused_cross_attention_proj(
         return pl.BlockSpec(shape, lambda i, nd=nd: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    if int8:
+        from pram_tpu.ops.mlp_pallas import _quant_cols
+
+        wqk_q, wqk_s = _quant_cols(w_qk)
+        wv_q, wv_s = _quant_cols(w_v)
+        kern = partial(_cross_proj_kernel_i8, scale=scale, heads=heads,
+                       hd=hd, n0=n0)
+        w_args = (
+            wqk_q, wqk_s, b_qk[None].astype(jnp.float32),
+            wv_q, wv_s, b_v[None].astype(jnp.float32),
+        )
+        w_specs = [wspec(din, d), wspec(1, d), wspec(1, d),
+                   wspec(din, d), wspec(1, d), wspec(1, d)]
+    else:
+        kern = partial(_cross_proj_kernel, scale=scale, heads=heads,
+                       hd=hd, n0=n0)
+        w_args = (
+            w_qk.astype(x_cat.dtype), b_qk[None].astype(jnp.float32),
+            w_v.astype(x_cat.dtype), b_v[None].astype(jnp.float32),
+        )
+        w_specs = [wspec(din, d), wspec(1, d), wspec(din, d), wspec(1, d)]
+
     return pl.pallas_call(
-        partial(_cross_proj_kernel, scale=scale, heads=heads, hd=hd, n0=n0),
+        kern,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, din), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            wspec(din, d), wspec(1, d),
-            wspec(din, d), wspec(1, d),
+            *w_specs,
             pl.BlockSpec((1, 1, n0), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n - n0), lambda i: (i, 0, 0),
@@ -901,7 +1007,4 @@ def fused_cross_attention_proj(
             pltpu.VMEM((n, d), x_cat.dtype),
         ],
         interpret=interpret,
-    )(
-        x_cat, w_qk.astype(x_cat.dtype), b_qk[None].astype(jnp.float32),
-        w_v.astype(x_cat.dtype), b_v[None].astype(jnp.float32), b0, b1,
-    )
+    )(x_cat, *w_args, b0, b1)

@@ -121,3 +121,74 @@ def test_int8_flag_routes_self_attention_block(rng, monkeypatch):
     assert common.int8_mlp_enabled()
     monkeypatch.setenv("PRAM_INT8_MLP", "0")
     assert not common.int8_mlp_enabled()
+
+
+def _interp_int8(monkeypatch):
+    import pram_tpu.models.common as common
+    import pram_tpu.ops.attention_pallas as ap
+    import pram_tpu.ops.mlp_pallas as mp
+
+    monkeypatch.setattr(common, "use_fused_attention", lambda *a: True)
+    orig_sp = ap.fused_self_attention_proj
+    monkeypatch.setattr(
+        ap, "fused_self_attention_proj",
+        lambda *a, **kw: orig_sp(*a, interpret=True, **kw),
+    )
+    orig_cp = ap.fused_cross_attention_proj
+    monkeypatch.setattr(
+        ap, "fused_cross_attention_proj",
+        lambda *a, **kw: orig_cp(*a, interpret=True, **kw),
+    )
+    orig_mlp = mp.fused_residual_mlp_int8
+    monkeypatch.setattr(
+        mp, "fused_residual_mlp_int8",
+        lambda *a, **kw: orig_mlp(*a, interpret=True, **kw),
+    )
+
+
+def test_int8_blocks_close_to_float(rng, monkeypatch):
+    """PRAM_INT8_PROJ + PRAM_INT8_MLP route the Self/Cross blocks through
+    the int8 kernels (via the common.py wiring) with bounded error vs the
+    float XLA path."""
+    import pram_tpu.models.common as common
+    from pram_tpu.models.common import (
+        CrossAttentionBlock,
+        LearnableFourierPE,
+        SelfAttentionBlock,
+    )
+
+    _interp_int8(monkeypatch)
+    monkeypatch.setenv("PRAM_INT8_PROJ", "1")
+    monkeypatch.setenv("PRAM_INT8_MLP", "1")
+
+    b, n0, n1, d = 2, 32, 64, 32
+    x0 = jnp.asarray(rng.randn(b, n0, d).astype(np.float32))
+    x1 = jnp.asarray(rng.randn(b, n1, d).astype(np.float32))
+    mask0 = jnp.asarray(rng.rand(b, n0) > 0.3)
+    mask1 = jnp.asarray(rng.rand(b, n1) > 0.3)
+    kxy0 = jnp.asarray(rng.rand(b, n0, 2).astype(np.float32))
+
+    pe = LearnableFourierPE(f_dim=d // 4)
+    enc0 = pe.apply(pe.init(jax.random.PRNGKey(2), kxy0), kxy0)
+
+    def close(a, b_):
+        a = np.asarray(a, np.float64).ravel()
+        b_ = np.asarray(b_, np.float64).ravel()
+        cos = float(np.dot(a, b_) / (np.linalg.norm(a) * np.linalg.norm(b_)))
+        assert cos > 0.999, cos
+
+    sa = SelfAttentionBlock(feat_dim=d, hidden_dim=d, num_heads=4)
+    variables = sa.init(jax.random.PRNGKey(0), x0, enc0, mask0)
+    got = sa.apply(variables, x0, enc0, mask0)
+    monkeypatch.setattr(common, "use_fused_attention", lambda *a: False)
+    ref = sa.apply(variables, x0, enc0, mask0)
+    close(got, ref)
+
+    monkeypatch.setattr(common, "use_fused_attention", lambda *a: True)
+    ca = CrossAttentionBlock(feat_dim=d, hidden_dim=d, num_heads=4)
+    cvars = ca.init(jax.random.PRNGKey(1), x0, x1, mask0, mask1)
+    g0, g1 = ca.apply(cvars, x0, x1, mask0, mask1)
+    monkeypatch.setattr(common, "use_fused_attention", lambda *a: False)
+    r0, r1 = ca.apply(cvars, x0, x1, mask0, mask1)
+    close(g0, r0)
+    close(g1, r1)
