@@ -67,6 +67,12 @@ REC_WEIGHTS = os.path.join(
 
 
 def main():
+    # the relay tunnel can drop for 1h+ and a device access then HANGS;
+    # convert that into a bounded wait so driver-run benches survive flaps
+    from pram_tpu.utils.chip import wait_for_chip
+
+    wait_for_chip(max_wait_s=int(os.environ.get("BENCH_CHIP_WAIT_S", 1800)))
+
     import jax
 
     # persistent compilation cache: the tunnel-attached TPU backend has very

@@ -23,6 +23,10 @@ if _REPO not in sys.path:
 
 
 def main():
+    from pram_tpu.utils.chip import wait_for_chip
+
+    wait_for_chip(max_wait_s=int(os.environ.get("BENCH_CHIP_WAIT_S", 1800)))
+
     import jax
 
     cache_dir = os.path.join(

@@ -27,6 +27,10 @@ if REPO not in sys.path:
 
 
 def run_chip():
+    from pram_tpu.utils.chip import wait_for_chip
+
+    wait_for_chip(max_wait_s=int(os.environ.get("BENCH_CHIP_WAIT_S", 1800)))
+
     import jax
 
     try:
