@@ -261,8 +261,8 @@ def fused_residual_mlp_int8(
     b, n, d = x.shape
     dh = w0.shape[-1]
     f32 = jnp.float32
-    nt = _pick_nt(n, d, dh, x.dtype.itemsize)
-    if nt is None or nt % 32 != 0:
+    nt = _pick_nt_i8(n, d, dh, x.dtype.itemsize)
+    if nt is None:
         raise ValueError(
             f"fused_residual_mlp_int8: no 32-aligned token tile of n={n} "
             f"(d={d}, dh={dh}) fits — gate with fused_mlp_int8_supported()"
@@ -306,6 +306,21 @@ def fused_residual_mlp_int8(
     )
 
 
+def _pick_nt_i8(n: int, d: int, dh: int, itemsize: int):
+    """Like _pick_nt but budgeting the int8 kernel's extra VMEM (s8 copies
+    of the four quantized activations, ~nt*(3d+dh) bytes) and requiring
+    32-aligned tiles (s8 sublane tiling)."""
+    for nt in (n, 1024, 512, 256, 128):
+        if (
+            nt <= n
+            and n % nt == 0
+            and nt % 32 == 0
+            and _vmem_estimate(nt, d, dh, itemsize) + nt * (3 * d + dh)
+            <= _VMEM_BUDGET
+        ):
+            return nt
+    return None
+
+
 def fused_mlp_int8_supported(n: int, d: int, dh: int, itemsize: int) -> bool:
-    nt = _pick_nt(n, d, dh, itemsize)
-    return nt is not None and nt % 32 == 0
+    return _pick_nt_i8(n, d, dh, itemsize) is not None
