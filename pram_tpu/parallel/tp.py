@@ -205,3 +205,114 @@ def tp_segnetvit_forward(
     variables = place_segnetvit_tp(mesh, variables)
     fn = make_tp_segnetvit_fn(mesh, config, variables)
     return jax.jit(fn)(variables, descriptors, norm_keypoints, mask)
+
+
+def make_sp_segnetvit_fn(mesh: Mesh, config: SegNetViTConfig):
+    """Sequence-parallel SegNetViT forward over a mesh 'seq' axis.
+
+    The long-context extension SURVEY.md §5 documents (the reference has
+    none — it *reduces* tokens instead, nets/adagml.py:344-374): tokens
+    shard over 'seq', parameters replicate. Each device projects qkv for
+    its token block, applies rotary locally, then ONE all-gather per
+    layer delivers the stacked (k, v) of all blocks; attention runs local
+    queries x full keys, and the MLP + seg head are token-local (zero
+    further communication). Collective cost: n_layers all-gathers of
+    [B_loc, N, 2*hidden] — asserted from compiled HLO in
+    tests/test_model_axis.py.
+
+    Returns ``fn(variables, descs, nk, mask) -> logits`` (un-jitted);
+    token count must divide the 'seq' axis size.
+    """
+    cfg = config
+    assert not cfg.with_sc
+    h, hd = cfg.num_heads, cfg.hidden_dim // cfg.num_heads
+    scale = hd**-0.5
+    eps = 1e-6
+
+    def fwd(v, descs, nk, m_full):
+        p = v["params"]
+        b, n_loc, _ = descs.shape
+
+        proj = nk @ p["kenc"]["Wr"]["kernel"]  # local tokens only
+        cos = jnp.repeat(jnp.cos(proj), 2, axis=-1)[:, None]
+        sin = jnp.repeat(jnp.sin(proj), 2, axis=-1)[:, None]
+
+        def rot_half(t):
+            tp = t.reshape(*t.shape[:-1], -1, 2)
+            return jnp.stack([-tp[..., 1], tp[..., 0]], axis=-1).reshape(
+                t.shape
+            )
+
+        x = descs @ p["input_proj"]["kernel"] + p["input_proj"]["bias"]
+
+        for i in range(cfg.n_layers):
+            g = p[f"gnn_{i}"]
+            qkv = x @ g["qkv"]["kernel"] + g["qkv"]["bias"]
+            qkv = jnp.moveaxis(qkv.reshape(b, n_loc, h, hd, 3), 2, 1)
+            q, k, vv = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+            q = q * cos + rot_half(q) * sin
+            k = k * cos + rot_half(k) * sin  # rotary BEFORE the gather
+            kv = jnp.concatenate([k, vv], axis=-1)  # one gather, not two
+            kv_full = jax.lax.all_gather(
+                kv, "seq", axis=2, tiled=True
+            )  # [B, h, N, 2hd]
+            k_full, v_full = kv_full[..., :hd], kv_full[..., hd:]
+            logits = (
+                jnp.einsum(
+                    "bhid,bhjd->bhij", q, k_full,
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            logits = jnp.where(m_full[:, None, None, :], logits, -1e9)
+            attn = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
+            msg = jnp.einsum(
+                "bhij,bhjd->bhid", attn, v_full,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            msg = jnp.moveaxis(msg, 1, 2).reshape(b, n_loc, cfg.hidden_dim)
+            msg = msg @ g["proj"]["kernel"] + g["proj"]["bias"]
+            y = jnp.concatenate([x, msg], axis=-1)
+            y = y @ g["mlp_0"]["kernel"] + g["mlp_0"]["bias"]
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - mu * mu
+            y = (y - mu) * jax.lax.rsqrt(var + eps)
+            y = y * g["mlp_ln"]["scale"] + g["mlp_ln"]["bias"]
+            y = jax.nn.gelu(y, approximate=False)
+            x = x + (y @ g["mlp_3"]["kernel"] + g["mlp_3"]["bias"])
+
+        y = x @ p["seg_0"]["kernel"] + p["seg_0"]["bias"]
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - mu * mu
+        y = (y - mu) * jax.lax.rsqrt(var + eps)
+        y = y * p["seg_ln"]["scale"] + p["seg_ln"]["bias"]
+        y = jax.nn.gelu(y, approximate=False)
+        return y @ p["seg_3"]["kernel"] + p["seg_3"]["bias"]
+
+    return jax.shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(
+            P(),  # parameters replicated
+            P("data", "seq", None),
+            P("data", "seq", None),
+            P("data"),  # full key mask on every seq shard
+        ),
+        out_specs=P("data", "seq", None),
+        check_vma=False,
+    )
+
+
+def sp_segnetvit_forward(
+    mesh: Mesh,
+    config: SegNetViTConfig,
+    variables,
+    descriptors: jax.Array,
+    norm_keypoints: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Sequence+data-parallel logits, equal to the replicated forward."""
+    if mask is None:
+        mask = jnp.ones(descriptors.shape[:2], bool)
+    fn = make_sp_segnetvit_fn(mesh, config)
+    return jax.jit(fn)(variables, descriptors, norm_keypoints, mask)

@@ -274,3 +274,41 @@ def test_trainer_class_sharded_checkpoint(rng, tmp_path):
     p2 = tr2.state.params["seg_0"]["kernel"]
     assert p2.addressable_shards[0].data.shape == (32, 64 // 4)
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p))
+
+
+def test_sequence_parallel_matches_replicated(rng):
+    """SP (parallel/tp.py:make_sp_segnetvit_fn): tokens sharded over
+    'seq', one KV all-gather per layer, equal to the replicated forward
+    with the documented collective schedule."""
+    from jax.sharding import Mesh
+
+    from pram_tpu.parallel.tp import make_sp_segnetvit_fn
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, axis_names=("data", "seq"))
+    cfg = SegNetViTConfig(
+        descriptor_dim=64, hidden_dim=64, output_dim=128, n_class=17,
+        n_layers=2, num_heads=2,
+    )
+    model = SegNetViT(cfg)
+    b, n = 4, 64
+    descs = jnp.asarray(rng.randn(b, n, 64).astype(np.float32))
+    nk = jnp.asarray((rng.rand(b, n, 2) * 2 - 1).astype(np.float32))
+    mask = jnp.asarray(rng.rand(b, n) > 0.1)
+    variables = model.init(jax.random.PRNGKey(0), descs, nk, mask)
+
+    ref = jax.jit(
+        lambda v, d, k, m: model.apply(v, d, k, m)["prediction"]
+    )(variables, descs, nk, mask)
+
+    fn = make_sp_segnetvit_fn(mesh, cfg)
+    got = jax.jit(fn)(variables, descs, nk, mask)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    # collective accounting: exactly n_layers all-gathers, no all-reduce
+    hlo = jax.jit(fn).lower(variables, descs, nk, mask).compile().as_text()
+    assert hlo.count(" all-gather(") == cfg.n_layers, hlo[:2000]
+    assert " all-reduce(" not in hlo
