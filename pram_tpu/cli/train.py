@@ -145,6 +145,26 @@ def main(argv=None):
             example.get("mask"),
         )
         param_specs = segnetvit_tp_specs(abs_vars["params"], args.tp)
+        n_sharded = sum(
+            1
+            for s in jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(
+                    lambda sp: sp != jax.sharding.PartitionSpec(),
+                    param_specs,
+                    is_leaf=lambda x: isinstance(
+                        x, jax.sharding.PartitionSpec
+                    ),
+                )
+            )
+            if s
+        )
+        if not n_sharded:
+            raise SystemExit(
+                f"--tp {args.tp}: no parameter of '{cfg.network}' matches "
+                "the tensor-parallel layout (parallel/tp.py is defined for "
+                "the attention recognizers, e.g. segnetvit)"
+            )
+        print(f"tp={args.tp}: {n_sharded} parameters model-axis-sharded")
     else:
         mesh = make_data_mesh()
     save_dir = args.save_dir or osp.join(
