@@ -312,3 +312,54 @@ def test_sequence_parallel_matches_replicated(rng):
     hlo = jax.jit(fn).lower(variables, descs, nk, mask).compile().as_text()
     assert hlo.count(" all-gather(") == cfg.n_layers, hlo[:2000]
     assert " all-reduce(" not in hlo
+
+
+def test_tp_checkpoint_reshards_across_mesh_shapes(rng, tmp_path):
+    """A TP checkpoint saved from a model=2 mesh restores onto a model=4
+    mesh (orbax reshards to the target's shardings) with equal values —
+    the elastic-resharding story for changing pod topologies."""
+    from pram_tpu.parallel.tp import segnetvit_tp_specs
+    from pram_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = TrainConfig(batch_size=4, epochs=1)
+    model = SegNetViT(
+        SegNetViTConfig(
+            descriptor_dim=32, hidden_dim=32, output_dim=64, n_class=9,
+            n_layers=1, num_heads=4,
+        )
+    )
+    b, n = 4, 32
+    batch = {
+        "seg_descriptors": jnp.asarray(
+            rng.randn(b, n, 32).astype(np.float32)
+        ),
+        "norm_keypoints": jnp.asarray(
+            (rng.rand(b, n, 2) * 2 - 1).astype(np.float32)
+        ),
+        "gt_seg": jnp.asarray(rng.randint(0, 9, (b, n))),
+        "mask": jnp.ones((b, n), bool),
+    }
+    abs_params = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        batch["seg_descriptors"], batch["norm_keypoints"], batch["mask"],
+    )["params"]
+
+    mesh2 = make_mesh(data=4, model=2)
+    tr = Trainer(
+        model, cfg, batch, save_dir=str(tmp_path / "run"), mesh=mesh2,
+        param_specs=segnetvit_tp_specs(abs_params, 2),
+        log_fn=lambda s: None,
+    )
+    tr.train(lambda epoch: iter([batch]))
+    saved = np.asarray(tr.state.params["seg_0"]["kernel"])
+
+    mesh4 = make_mesh(data=2, model=4)
+    tr4 = Trainer(
+        model, cfg, batch, save_dir=str(tmp_path / "other"), mesh=mesh4,
+        param_specs=segnetvit_tp_specs(abs_params, 4),
+        log_fn=lambda s: None,
+    )
+    tr4.restore_checkpoint(str(tmp_path / "run" / "best"))
+    p4 = tr4.state.params["seg_0"]["kernel"]
+    assert p4.addressable_shards[0].data.shape == (32, 64 // 4)
+    np.testing.assert_allclose(np.asarray(p4), saved)
