@@ -316,3 +316,316 @@ def sp_segnetvit_forward(
         mask = jnp.ones(descriptors.shape[:2], bool)
     fn = make_sp_segnetvit_fn(mesh, config)
     return jax.jit(fn)(variables, descriptors, norm_keypoints, mask)
+
+
+def make_sp_gml_fn(mesh: Mesh, config):
+    """Sequence-parallel GML matcher forward over a mesh 'seq' axis.
+
+    Long-context matching beyond one chip's VMEM/HBM comfort zone: both
+    keypoint sets shard their tokens over 'seq' while parameters
+    replicate. The reference has no equivalent — at large token counts it
+    *reduces* tokens instead (AdaGML pooling, nets/adagml.py:344-374);
+    this keeps every keypoint and scales the quadratic attention work
+    across devices.
+
+    Collective schedule (asserted from compiled HLO in
+    tests/test_model_axis.py):
+
+    - ONE all-gather per self-attention layer: both sides' rotary-encoded
+      (k, v) stacked into a single ``[B, h, n0_loc + n1_loc, 2*hd]``
+      gather; attention then runs local queries x full keys per side.
+    - ONE all-gather per cross-attention layer: the shared-projection
+      (qk, v) pair of both sides, gathered the same way. Direction 0->1
+      softmaxes local rows over full side-1 keys; direction 1->0
+      softmaxes the full side-0 axis of the locally-held columns — both
+      are exact, not approximations.
+    - ONE all-gather for ``mdesc1`` before the similarity matrix (the
+      ``[B, n0_loc, M]`` sim block stays row-sharded).
+    - ONE psum per Sinkhorn iteration (the column-marginal reduction over
+      the row-sharded transport kernel; 20 total, each ``[B, M+1]`` —
+      bytes-trivial next to the per-layer gathers). The dustbin row is
+      computed replicated: its row-softmax is uniform ``1/(M+1)``
+      regardless of the learned score, so its column contribution is
+      added AFTER the psum exactly once.
+
+    The per-device math mirrors the XLA paths of models/common.py
+    (SelfAttentionBlock / CrossAttentionBlock) and ops/sinkhorn.py
+    head-for-head, so the assembled plan is pinned equal to the
+    replicated ``GML.apply`` plan (reference semantics:
+    nets/gml.py:189-319).
+
+    Returns ``fn(variables, d0, d1, nk0, nk1, mask0, mask1) ->
+    (plan_rows, dustbin_row)`` (un-jitted): ``plan_rows`` is the
+    ``[B, N0, M+1]`` valid-row block sharded over 'seq', ``dustbin_row``
+    the replicated ``[B, M+1]`` last row. Both token counts must divide
+    the 'seq' axis size.
+    """
+    cfg = config
+    ssize = mesh.shape["seq"]
+    h = cfg.num_heads
+    hd = cfg.hidden_dim // h
+    scale = hd**-0.5
+    eps_ln = 1e-6  # nn.LayerNorm default
+    eps_sk = 1e-8  # ops/sinkhorn.py:_EPS
+    d_out = cfg.hidden_dim
+
+    def rot_half(t):
+        tp = t.reshape(*t.shape[:-1], -1, 2)
+        return jnp.stack([-tp[..., 1], tp[..., 0]], axis=-1).reshape(t.shape)
+
+    def layer_norm(y, scale_p, bias_p):
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - mu * mu
+        y = (y - mu) * jax.lax.rsqrt(var + eps_ln)
+        return y * scale_p + bias_p
+
+    def concat_mlp(g, x, msg):
+        """Shared concat-MLP residual (models/common.py XLA path)."""
+        msg = msg @ g["proj"]["kernel"] + g["proj"]["bias"]
+        y = jnp.concatenate([x, msg], axis=-1)
+        y = y @ g["mlp_0"]["kernel"] + g["mlp_0"]["bias"]
+        y = layer_norm(y, g["mlp_ln"]["scale"], g["mlp_ln"]["bias"])
+        y = jax.nn.gelu(y, approximate=False)
+        return x + (y @ g["mlp_3"]["kernel"] + g["mlp_3"]["bias"])
+
+    def split_heads(t, b, n):
+        return jnp.moveaxis(t.reshape(b, n, h, hd), 2, 1)
+
+    def merge_heads(t, b, n):
+        return jnp.moveaxis(t, 1, 2).reshape(b, n, cfg.hidden_dim)
+
+    def gather_sides(t0, t1, n0_loc, n1_loc):
+        """One untiled all-gather of both sides' per-head tensors.
+
+        ``t0``/``t1``: [B, h, n_loc, C]. Returns the device-order-correct
+        full-token tensors ([B, h, N0, C], [B, h, N1, C]) — the untiled
+        gather keeps the device axis explicit so the two sides'
+        interleaved blocks can be re-separated.
+        """
+        cat = jnp.concatenate([t0, t1], axis=2)
+        g = jax.lax.all_gather(cat, "seq", axis=0, tiled=False)
+        # [S, B, h, n0_loc + n1_loc, C] -> per side [B, h, S*n_loc, C]
+        def unblock(part, n_loc):
+            part = jnp.moveaxis(part, 0, 2)  # [B, h, S, n_loc, C]
+            b_, h_ = part.shape[0], part.shape[1]
+            return part.reshape(b_, h_, ssize * n_loc, part.shape[-1])
+
+        return unblock(g[:, :, :, :n0_loc], n0_loc), unblock(
+            g[:, :, :, n0_loc:], n1_loc
+        )
+
+    def fwd(v, d0, d1, nk0, nk1, m0_full, m1_full):
+        p = v["params"]
+        b, n0_loc, _ = d0.shape
+        n1_loc = d1.shape[1]
+
+        # rotary from the local keypoints (before any gather)
+        def enc(nk):
+            proj = nk @ p["poseenc"]["Wr"]["kernel"]
+            cos = jnp.repeat(jnp.cos(proj), 2, axis=-1)[:, None]
+            sin = jnp.repeat(jnp.sin(proj), 2, axis=-1)[:, None]
+            return cos, sin
+
+        cos0, sin0 = enc(nk0)
+        cos1, sin1 = enc(nk1)
+
+        wi, bi = p["input_proj"]["kernel"], p["input_proj"]["bias"]
+        x0 = d0 @ wi + bi
+        x1 = d1 @ wi + bi
+
+        for i in range(cfg.n_layers):
+            # --- self attention (per side, shared weights) ---
+            g = p[f"self_attn_{i}"]
+
+            def qkv_side(x, cos, sin, n_loc):
+                qkv = x @ g["qkv"]["kernel"] + g["qkv"]["bias"]
+                qkv = jnp.moveaxis(qkv.reshape(b, n_loc, h, hd, 3), 2, 1)
+                q, k, vv = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+                q = q * cos + rot_half(q) * sin
+                k = k * cos + rot_half(k) * sin
+                return q, jnp.concatenate([k, vv], axis=-1)
+
+            q0, kv0 = qkv_side(x0, cos0, sin0, n0_loc)
+            q1, kv1 = qkv_side(x1, cos1, sin1, n1_loc)
+            kv0_full, kv1_full = gather_sides(kv0, kv1, n0_loc, n1_loc)
+
+            def attend_self(q, kv_full, m_full, x):
+                k_full, v_full = kv_full[..., :hd], kv_full[..., hd:]
+                logits = (
+                    jnp.einsum(
+                        "bhid,bhjd->bhij", q, k_full,
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                )
+                logits = jnp.where(
+                    m_full[:, None, None, :], logits,
+                    jnp.asarray(-1e9, logits.dtype),
+                )
+                attn = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
+                return jnp.einsum(
+                    "bhij,bhjd->bhid", attn, v_full,
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+
+            msg0 = merge_heads(attend_self(q0, kv0_full, m0_full, x0), b, n0_loc)
+            msg1 = merge_heads(attend_self(q1, kv1_full, m1_full, x1), b, n1_loc)
+            x0 = concat_mlp(g, x0, msg0)
+            x1 = concat_mlp(g, x1, msg1)
+
+            # --- symmetric cross attention (shared to_qk) ---
+            g = p[f"cross_attn_{i}"]
+            root = scale**0.5
+
+            def qk_v_side(x, n_loc):
+                qk = (x @ g["to_qk"]["kernel"] + g["to_qk"]["bias"]) * root
+                vv = x @ g["to_v"]["kernel"] + g["to_v"]["bias"]
+                return split_heads(qk, b, n_loc), split_heads(vv, b, n_loc)
+
+            qk0, v0 = qk_v_side(x0, n0_loc)
+            qk1, v1 = qk_v_side(x1, n1_loc)
+            qkv0_full, qkv1_full = gather_sides(
+                jnp.concatenate([qk0, v0], axis=-1),
+                jnp.concatenate([qk1, v1], axis=-1),
+                n0_loc,
+                n1_loc,
+            )
+            qk0_full, v0_full = qkv0_full[..., :hd], qkv0_full[..., hd:]
+            qk1_full, v1_full = qkv1_full[..., :hd], qkv1_full[..., hd:]
+
+            # 0 -> 1: local side-0 rows over the full side-1 keys
+            sim0 = jnp.einsum(
+                "bhid,bhjd->bhij", qk0, qk1_full,
+                preferred_element_type=jnp.float32,
+            )
+            attn01 = jax.nn.softmax(
+                jnp.where(
+                    m1_full[:, None, None, :], sim0,
+                    jnp.asarray(-1e9, sim0.dtype),
+                ),
+                axis=-1,
+            ).astype(v1_full.dtype)
+            m0_msg = jnp.einsum(
+                "bhij,bhjd->bhid", attn01, v1_full,
+                preferred_element_type=jnp.float32,
+            ).astype(x0.dtype)
+
+            # 1 -> 0: full side-0 axis of the locally-held columns
+            sim1 = jnp.einsum(
+                "bhid,bhjd->bhij", qk0_full, qk1,
+                preferred_element_type=jnp.float32,
+            )
+            attn10 = jax.nn.softmax(
+                jnp.where(
+                    m0_full[:, None, :, None], sim1,
+                    jnp.asarray(-1e9, sim1.dtype),
+                ),
+                axis=-2,
+            ).astype(v0_full.dtype)
+            m1_msg = jnp.einsum(
+                "bhij,bhid->bhjd", attn10, v0_full,
+                preferred_element_type=jnp.float32,
+            ).astype(x1.dtype)
+
+            x0 = concat_mlp(g, x0, merge_heads(m0_msg, b, n0_loc))
+            x1 = concat_mlp(g, x1, merge_heads(m1_msg, b, n1_loc))
+
+        # --- matching head (last out_proj only; nets/gml.py:279-280) ---
+        o = p[f"out_proj_{cfg.n_layers - 1}"]
+        md0 = (x0 @ o["kernel"] + o["bias"]) / d_out**0.25
+        md1 = (x1 @ o["kernel"] + o["bias"]) / d_out**0.25
+        md1_full = jax.lax.all_gather(md1, "seq", axis=1, tiled=True)
+        sim = jnp.einsum(
+            "bnd,bmd->bnm", md0, md1_full,
+            preferred_element_type=jnp.float32,
+        )
+
+        # --- Sinkhorn, rows sharded over 'seq' (ops/sinkhorn.py math) ---
+        dustbin = p["bin_score"]
+        m_cols = sim.shape[-1]
+        aug = jnp.concatenate(
+            [sim, jnp.broadcast_to(dustbin, (b, n0_loc, 1)).astype(sim.dtype)],
+            axis=-1,
+        )
+        p_loc = jax.nn.softmax(aug, axis=-1)  # [B, n0_loc, M+1]
+        # the dustbin ROW of the augmented matrix is a constant row, so its
+        # row-softmax is exactly uniform 1/(M+1): computed replicated.
+        inv_mp1 = 1.0 / (m_cols + 1)
+
+        idx = jax.lax.axis_index("seq")
+        m0_loc = jax.lax.dynamic_slice_in_dim(
+            m0_full, idx * n0_loc, n0_loc, axis=1
+        )
+        r_loc = m0_loc.astype(sim.dtype)
+        n_valid = jnp.sum(m0_full.astype(sim.dtype), axis=-1) + 1.0
+        c = jnp.concatenate(
+            [
+                m1_full.astype(sim.dtype),
+                (jnp.sum(m1_full.astype(sim.dtype), axis=-1) + 1.0)[:, None],
+            ],
+            axis=-1,
+        )  # [B, M+1]
+
+        def body(carry, _):
+            _, vv = carry
+            u = r_loc / (jnp.einsum("bnm,bm->bn", p_loc, vv) + eps_sk)
+            u_dust = n_valid / (jnp.sum(vv, axis=-1) * inv_mp1 + eps_sk)
+            colsum = jax.lax.psum(
+                jnp.einsum("bnm,bn->bm", p_loc, u), "seq"
+            )
+            colsum = colsum + u_dust[:, None] * inv_mp1
+            vv = c / (colsum + eps_sk)
+            return (jnp.concatenate([u, u_dust[:, None]], -1), vv), None
+
+        u0 = jnp.ones((b, n0_loc + 1), sim.dtype)
+        v0_init = jnp.ones((b, m_cols + 1), sim.dtype)
+        (uv, vfin), _ = jax.lax.scan(
+            body, (u0, v0_init), None, length=cfg.sinkhorn_iterations
+        )
+        u_rows, u_dust = uv[:, :n0_loc], uv[:, n0_loc]
+        plan_rows = p_loc * u_rows[:, :, None] * vfin[:, None, :]
+        dust_row = (u_dust[:, None] * inv_mp1) * vfin
+        return plan_rows, dust_row
+
+    return jax.shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(
+            P(),  # parameters replicated
+            P("data", "seq", None),
+            P("data", "seq", None),
+            P("data", "seq", None),
+            P("data", "seq", None),
+            P("data"),  # full row mask on every seq shard
+            P("data"),  # full column mask on every seq shard
+        ),
+        out_specs=(P("data", "seq", None), P("data")),
+        check_vma=False,
+    )
+
+
+def sp_gml_plan(
+    mesh: Mesh,
+    config,
+    variables,
+    desc0: jax.Array,
+    desc1: jax.Array,
+    norm_kpts0: jax.Array,
+    norm_kpts1: jax.Array,
+    mask0: Optional[jax.Array] = None,
+    mask1: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Sequence+data-parallel GML transport plan ``[B, N0+1, M+1]``,
+    equal to the replicated ``GML.apply(...)["plan"]`` (pinned in
+    tests/test_model_axis.py)."""
+    b, n0 = desc0.shape[:2]
+    n1 = desc1.shape[1]
+    if mask0 is None:
+        mask0 = jnp.ones((b, n0), bool)
+    if mask1 is None:
+        mask1 = jnp.ones((b, n1), bool)
+    fn = jax.jit(make_sp_gml_fn(mesh, config))
+    rows, dust = fn(
+        variables, desc0, desc1, norm_kpts0, norm_kpts1, mask0, mask1
+    )
+    return jnp.concatenate([rows, dust[:, None, :]], axis=1)

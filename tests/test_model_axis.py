@@ -363,3 +363,47 @@ def test_tp_checkpoint_reshards_across_mesh_shapes(rng, tmp_path):
     p4 = tr4.state.params["seg_0"]["kernel"]
     assert p4.addressable_shards[0].data.shape == (32, 64 // 4)
     np.testing.assert_allclose(np.asarray(p4), saved)
+
+
+def test_sequence_parallel_gml_matches_replicated(rng):
+    """SP matcher (parallel/tp.py:make_sp_gml_fn): both token sets
+    sharded over 'seq', one gather per attention layer + one psum per
+    Sinkhorn iteration, assembled plan equal to the replicated GML."""
+    from jax.sharding import Mesh
+
+    from pram_tpu.models.gml import GML, GMLConfig
+    from pram_tpu.parallel.tp import make_sp_gml_fn, sp_gml_plan
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, axis_names=("data", "seq"))
+    cfg = GMLConfig(
+        descriptor_dim=32, hidden_dim=64, num_heads=2, n_layers=2,
+        sinkhorn_iterations=8,
+    )
+    model = GML(cfg)
+    b, n0, n1 = 2, 64, 48
+    d0 = jnp.asarray(rng.randn(b, n0, 32).astype(np.float32))
+    d1 = jnp.asarray(rng.randn(b, n1, 32).astype(np.float32))
+    k0 = jnp.asarray((rng.rand(b, n0, 2) * 2 - 1).astype(np.float32))
+    k1 = jnp.asarray((rng.rand(b, n1, 2) * 2 - 1).astype(np.float32))
+    m0 = jnp.asarray(rng.rand(b, n0) > 0.15)
+    m1 = jnp.asarray(rng.rand(b, n1) > 0.15)
+    variables = model.init(jax.random.PRNGKey(0), d0, d1, k0, k1, m0, m1)
+
+    ref = jax.jit(
+        lambda v: model.apply(v, d0, d1, k0, k1, m0, m1)["plan"]
+    )(variables)
+
+    got = sp_gml_plan(mesh, cfg, variables, d0, d1, k0, k1, m0, m1)
+    assert got.shape == ref.shape == (b, n0 + 1, n1 + 1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=5e-5, atol=5e-5
+    )
+
+    # collective accounting: one gather per self layer + one per cross
+    # layer + one for mdesc1; ONE all-reduce (the Sinkhorn column psum,
+    # executed num_iters times inside the scan loop)
+    fn = jax.jit(make_sp_gml_fn(mesh, cfg))
+    hlo = fn.lower(variables, d0, d1, k0, k1, m0, m1).compile().as_text()
+    assert hlo.count(" all-gather(") == 2 * cfg.n_layers + 1, hlo[:2000]
+    assert hlo.count(" all-reduce(") == 1
