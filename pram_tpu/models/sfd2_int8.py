@@ -54,6 +54,29 @@ def _quant_w(kernel):
     return q, scale.astype(jnp.float32)
 
 
+def int8_conv_enabled() -> bool:
+    """Trace-time flag for the Pallas im2col s8 conv (PRAM_INT8_CONV=1).
+
+    Off by default until chip-validated; accuracy is gated by the
+    image-level rendered guard, which runs whatever configuration the
+    bench runs (engine/rendered_guard.py)."""
+    import os
+
+    return os.environ.get("PRAM_INT8_CONV", "0") == "1"
+
+
+def _use_conv_kernel(x, cout, strides) -> bool:
+    if strides != (1, 1) or not int8_conv_enabled():
+        return False
+    from pram_tpu.ops import conv_int8_pallas as cip
+
+    if jax.default_backend() != "tpu" and not cip._INTERPRET:
+        return False
+    return cip.conv3x3_int8_supported(
+        x.shape[1], x.shape[2], x.shape[3], cout
+    )
+
+
 def _conv_i8(xq, wq, strides=(1, 1)):
     return jax.lax.conv_general_dilated(
         xq, wq, strides, [(1, 1), (1, 1)],
@@ -134,6 +157,13 @@ class Int8ResNet4x:
         """Quantize x with the layer's static input scale, int8 conv,
         dequantize + bias + ReLU (BN already folded into wq/bias)."""
         sa = qp[f"{name}_in_scale"]
+        if _use_conv_kernel(x, qp[f"{name}_wq"].shape[-1], strides):
+            from pram_tpu.ops.conv_int8_pallas import conv3x3_int8
+
+            return conv3x3_int8(
+                x, qp[f"{name}_wq"], sa, qp[f"{name}_wscale"],
+                qp[f"{name}_bias"], relu=True,
+            )
         xq = jnp.clip(jnp.round(x / sa), -127, 127).astype(jnp.int8)
         y = _conv_i8(xq, qp[f"{name}_wq"], strides)
         scale = (sa * qp[f"{name}_wscale"]).astype(x.dtype)
@@ -145,22 +175,52 @@ class Int8ResNet4x:
         y = self._q1x1(qp, f"{name}_conv1", x, relu=True)
         # grouped 3x3 as dense block-diagonal int8 splits
         sa = qp[f"{name}_conv2_in_scale"]
-        yq = jnp.clip(jnp.round(y / sa), -127, 127).astype(jnp.int8)
         split = qp[f"{name}_conv2_wq"][0].shape[2]
-        outs = []
-        for si, wq in enumerate(qp[f"{name}_conv2_wq"]):
-            outs.append(
-                _conv_i8(yq[..., si * split : (si + 1) * split], wq)
+        oc = qp[f"{name}_conv2_wq"][0].shape[-1]
+        if _use_conv_kernel(y[..., :split], oc, (1, 1)):
+            from pram_tpu.ops.conv_int8_pallas import conv3x3_int8
+
+            outs = [
+                conv3x3_int8(
+                    y[..., si * split : (si + 1) * split], wq, sa,
+                    qp[f"{name}_conv2_wscale"][si * oc : (si + 1) * oc],
+                    qp[f"{name}_conv2_bias"][si * oc : (si + 1) * oc],
+                    relu=True,
+                )
+                for si, wq in enumerate(qp[f"{name}_conv2_wq"])
+            ]
+            y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, -1)
+        else:
+            yq = jnp.clip(jnp.round(y / sa), -127, 127).astype(jnp.int8)
+            outs = []
+            for si, wq in enumerate(qp[f"{name}_conv2_wq"]):
+                outs.append(
+                    _conv_i8(yq[..., si * split : (si + 1) * split], wq)
+                )
+            y32 = outs[0] if len(outs) == 1 else jnp.concatenate(outs, -1)
+            scale2 = (sa * qp[f"{name}_conv2_wscale"]).astype(x.dtype)
+            y = jnp.maximum(
+                y32.astype(x.dtype) * scale2
+                + qp[f"{name}_conv2_bias"].astype(x.dtype),
+                0,
             )
-        y32 = outs[0] if len(outs) == 1 else jnp.concatenate(outs, -1)
-        scale2 = (sa * qp[f"{name}_conv2_wscale"]).astype(x.dtype)
-        y = jnp.maximum(
-            y32.astype(x.dtype) * scale2
-            + qp[f"{name}_conv2_bias"].astype(x.dtype),
-            0,
-        )
         y = self._q1x1(qp, f"{name}_conv3", y, relu=False)
         return jnp.maximum(y + identity, 0)
+
+    def _qhead3x3(self, qp, name, x):
+        """3x3 s1 head conv, dequant + bias, NO ReLU (convPa_3/convDa_3)."""
+        sa = qp[f"{name}_in_scale"]
+        if _use_conv_kernel(x, qp[f"{name}_wq"].shape[-1], (1, 1)):
+            from pram_tpu.ops.conv_int8_pallas import conv3x3_int8
+
+            return conv3x3_int8(
+                x, qp[f"{name}_wq"], sa, qp[f"{name}_wscale"],
+                qp[f"{name}_bias"], relu=False,
+            )
+        cq = jnp.clip(jnp.round(x / sa), -127, 127).astype(jnp.int8)
+        return _conv_i8(cq, qp[f"{name}_wq"]).astype(x.dtype) * (
+            sa * qp[f"{name}_wscale"]
+        ).astype(x.dtype) + qp[f"{name}_bias"].astype(x.dtype)
 
     def _q1x1(self, qp, name, x, relu):
         sa = qp[f"{name}_in_scale"]
@@ -187,11 +247,7 @@ class Int8ResNet4x:
 
         # detector head
         cpa = self._qlayer(qp, "convPa_0", out4, (2, 2))
-        sa = qp["convPa_3_in_scale"]
-        cq = jnp.clip(jnp.round(cpa / sa), -127, 127).astype(jnp.int8)
-        cpa = _conv_i8(cq, qp["convPa_3_wq"]).astype(x.dtype) * (
-            sa * qp["convPa_3_wscale"]
-        ).astype(x.dtype) + qp["convPa_3_bias"].astype(x.dtype)
+        cpa = self._qhead3x3(qp, "convPa_3", cpa)
         logits = (
             jax.lax.dot_general(
                 cpa, qp["convPb_w"].astype(x.dtype),
@@ -205,11 +261,7 @@ class Int8ResNet4x:
 
         # descriptor head
         cda = self._qlayer(qp, "convDa_0", out4, (1, 1))
-        sa = qp["convDa_3_in_scale"]
-        cq = jnp.clip(jnp.round(cda / sa), -127, 127).astype(jnp.int8)
-        cda = _conv_i8(cq, qp["convDa_3_wq"]).astype(x.dtype) * (
-            sa * qp["convDa_3_wscale"]
-        ).astype(x.dtype) + qp["convDa_3_bias"].astype(x.dtype)
+        cda = self._qhead3x3(qp, "convDa_3", cda)
         desc = (
             jax.lax.dot_general(
                 cda, qp["convDb_w"].astype(x.dtype),

@@ -80,3 +80,52 @@ def test_mid_features_feed_recognition(setup):
     assert out["mid_features"].shape == (b, h // 4, w // 4, 256)
     assert out["desc_map"].shape == (b, h // 4, w // 4, 128)
     assert out["score_map"].shape == (b, h, w)
+
+
+def test_conv_kernel_path_matches_xla_int8(setup, monkeypatch):
+    """PRAM_INT8_CONV=1 routes the stride-1 C>=128 convs through the
+    Pallas im2col s8 kernel (interpret-forced on CPU); same quantized
+    configuration, near-identical output to the XLA s8 path."""
+    from pram_tpu.ops import conv_int8_pallas as cip
+
+    _, _, int8_model, qparams, img = setup
+    ref = int8_model.apply(qparams, img)
+
+    monkeypatch.setenv("PRAM_INT8_CONV", "1")
+    monkeypatch.setattr(cip, "_INTERPRET", True)
+    out = int8_model.apply(qparams, img)
+
+    # the kernel quantizes with x * (1/sa), the XLA path with x / sa:
+    # boundary values flip by one int8 step and the flips compound layer
+    # over layer, so the two int8 paths agree to quantization-noise level
+    # (per-layer exactness is pinned in tests/test_conv_int8.py). The
+    # meaningful bound is against the FLOAT model, at the same tolerances
+    # the XLA int8 path is held to in test_outputs_close_to_float.
+    cos = (
+        np.asarray(ref["desc_map"], np.float32)
+        * np.asarray(out["desc_map"], np.float32)
+    ).sum(-1)
+    assert cos.min() > 0.999
+    a = np.asarray(ref["score_map"], np.float32).ravel()
+    b = np.asarray(out["score_map"], np.float32).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.999
+    assert np.abs(a - b).max() < 5e-3
+
+
+def test_conv_kernel_path_close_to_float(setup, monkeypatch):
+    from pram_tpu.ops import conv_int8_pallas as cip
+
+    model, variables, int8_model, qparams, img = setup
+    ref = model.apply(variables, img)
+    monkeypatch.setenv("PRAM_INT8_CONV", "1")
+    monkeypatch.setattr(cip, "_INTERPRET", True)
+    out = int8_model.apply(qparams, img)
+    cos = (
+        np.asarray(ref["desc_map"], np.float32)
+        * np.asarray(out["desc_map"], np.float32)
+    ).sum(-1)
+    assert cos.min() > 0.995
+    a = np.asarray(ref["score_map"], np.float32).ravel()
+    b = np.asarray(out["score_map"], np.float32).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.995
+    assert np.abs(a - b).max() < 5e-3
