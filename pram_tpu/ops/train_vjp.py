@@ -129,8 +129,62 @@ def _self_attn_fwd(x, wp, bp, cos, sin, bias, scale, heads, splits, rotary):
     return out, (x, wp, bp, cos, sin, bias)
 
 
+def attn_bwd_kernel_enabled() -> bool:
+    """Trace-time flag for the Pallas attention backward (PRAM_ATTN_BWD=1).
+
+    Off by default until chip-validated; gradient parity vs the autodiff
+    backward is pinned in tests/test_train_vjp.py either way."""
+    import os
+
+    return os.environ.get("PRAM_ATTN_BWD", "0") == "1"
+
+
 def _self_attn_bwd(scale, heads, splits, rotary, res, g):
     x, wp, bp, cos, sin, bias = res
+    use_kernel = False
+    if attn_bwd_kernel_enabled():
+        from pram_tpu.ops import attention_bwd_pallas as abp
+
+        d = wp.shape[-1] // 3
+        use_kernel = (
+            jax.default_backend() == "tpu" or abp._INTERPRET
+        ) and abp.attention_bwd_supported(
+            x.shape[1], d, x.dtype.itemsize, max(splits)
+        )
+    if use_kernel:
+        from pram_tpu.ops.attention_bwd_pallas import (
+            fused_self_attention_bwd,
+        )
+
+        qkv = (
+            jnp.einsum(
+                "bnd,df->bnf", x, wp.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + bp.astype(jnp.float32)
+        ).astype(x.dtype)
+        dqkv, dcos, dsin, dbias = fused_self_attention_bwd(
+            qkv, cos if rotary else None, sin if rotary else None,
+            bias, g.astype(x.dtype), scale, heads, splits, rotary=rotary,
+        )
+        dx = jnp.einsum(
+            "bnf,df->bnd", dqkv, wp.astype(dqkv.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        dwp = jnp.einsum(
+            "bnd,bnf->df", x, dqkv, preferred_element_type=jnp.float32
+        ).astype(wp.dtype)
+        dbp = jnp.sum(
+            dqkv.astype(jnp.float32), axis=(0, 1)
+        ).astype(bp.dtype)
+        if not rotary:
+            dcos = jnp.zeros_like(cos)
+            dsin = jnp.zeros_like(sin)
+        return (
+            dx, dwp, dbp,
+            dcos.astype(cos.dtype), dsin.astype(sin.dtype),
+            dbias.astype(bias.dtype),
+        )
     _, vjp_fn = jax.vjp(
         lambda x_, wp_, bp_, cos_, sin_, bias_: self_attention_proj_ref(
             x_, wp_, bp_, cos_, sin_, bias_,

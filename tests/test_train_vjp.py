@@ -139,3 +139,55 @@ def test_self_attention_ref_matches_block_xla(rng):
     np.testing.assert_allclose(
         np.asarray(out_ref), np.asarray(out_xla), rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.parametrize("rotary", [True, False])
+@pytest.mark.parametrize("splits", [(64,), (32, 32)])
+def test_attention_bwd_kernel_matches_autodiff(
+    rng, rotary, splits, monkeypatch
+):
+    """PRAM_ATTN_BWD=1 routes the backward through the Pallas kernel
+    (interpret-forced on CPU); every cotangent — x, weights, bias of the
+    projection, rotary tables, key bias — must match autodiff of the XLA
+    reference."""
+    from pram_tpu.ops import attention_bwd_pallas as abp
+
+    monkeypatch.setenv("PRAM_ATTN_BWD", "1")
+    monkeypatch.setattr(abp, "_INTERPRET", True)
+
+    b, n, heads, hd = 2, 64, 4, 32
+    d = heads * hd
+    assert abp.attention_bwd_supported(n, d, 4, max(splits))
+    x = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+    wp = jnp.asarray(rng.randn(d, 3 * d).astype(np.float32) * 0.1)
+    bp = jnp.asarray(rng.randn(3 * d).astype(np.float32) * 0.1)
+    cos = jnp.asarray(rng.rand(b, n, hd).astype(np.float32))
+    sin = jnp.asarray(rng.rand(b, n, hd).astype(np.float32))
+    bias = jnp.asarray(
+        np.where(rng.rand(b, n) < 0.2, -1e9, 0.0).astype(np.float32)
+    )
+    scale = hd**-0.5
+    ct = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+
+    def via_wrapper(*args):
+        out = self_attention_proj(*args, scale, heads, splits, rotary)
+        return jnp.sum(out * ct)
+
+    def via_ref(*args):
+        out = self_attention_proj_ref(
+            *args, scale=scale, heads=heads, splits=splits, rotary=rotary
+        )
+        return jnp.sum(out * ct)
+
+    gw = jax.grad(via_wrapper, argnums=tuple(range(6)))(
+        x, wp, bp, cos, sin, bias
+    )
+    gr = jax.grad(via_ref, argnums=tuple(range(6)))(
+        x, wp, bp, cos, sin, bias
+    )
+    names = ["x", "wp", "bp", "cos", "sin", "bias"]
+    for name, a, bgrad in zip(names, gw, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bgrad), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )
