@@ -460,21 +460,36 @@ class CrossAttentionBlock(nn.Module):
             if max(n0, n1) <= 1024:
                 # in-kernel to_qk/to_v projections + symmetric cross
                 # attention in one program per frame
-                from pram_tpu.ops.attention_pallas import (
-                    fused_cross_attention_proj,
-                )
-
                 wqk, bqk = _DenseParams(self.hidden_dim, name="to_qk")(
                     cat.shape[-1]
                 )
                 wv, bv = _DenseParams(self.hidden_dim, name="to_v")(
                     cat.shape[-1]
                 )
-                m_cat = fused_cross_attention_proj(
-                    cat, wqk, bqk, wv, bv,
-                    mask_to_bias(mask0, b, n0), mask_to_bias(mask1, b, n1),
-                    scale, h, n0, int8=int8_proj_enabled(),
-                ).astype(x0.dtype)
+                if int8_proj_enabled():
+                    # inference-only int8 projections (no VJP wrapper)
+                    from pram_tpu.ops.attention_pallas import (
+                        fused_cross_attention_proj,
+                    )
+
+                    m_cat = fused_cross_attention_proj(
+                        cat, wqk, bqk, wv, bv,
+                        mask_to_bias(mask0, b, n0),
+                        mask_to_bias(mask1, b, n1),
+                        scale, h, n0, int8=True,
+                    ).astype(x0.dtype)
+                else:
+                    # custom-VJP wrapper: kernel forward, recompute-XLA
+                    # backward, so DIFFERENTIATED traces (GML/AdaGML
+                    # training) keep the fused kernel (ops/train_vjp.py)
+                    from pram_tpu.ops.train_vjp import cross_attention_proj
+
+                    m_cat = cross_attention_proj(
+                        cat, wqk, bqk, wv, bv,
+                        mask_to_bias(mask0, b, n0),
+                        mask_to_bias(mask1, b, n1),
+                        scale, h, n0,
+                    ).astype(x0.dtype)
             else:
                 from pram_tpu.ops.attention_pallas import (
                     fused_cross_attention_packed,
@@ -490,8 +505,6 @@ class CrossAttentionBlock(nn.Module):
                     scale, h,
                 )
                 m_cat = jnp.concatenate([m0, m1], axis=1).astype(x0.dtype)
-            from pram_tpu.ops.mlp_pallas import fused_residual_mlp
-
             wp_, bp_ = _DenseParams(self.hidden_dim, name="proj")(
                 self.hidden_dim
             )
@@ -518,7 +531,10 @@ class CrossAttentionBlock(nn.Module):
                     cat, m_cat, wp_, bp_, w0_, b0_, g_, be_, w3_, b3_
                 )
             else:
-                out = fused_residual_mlp(
+                # custom-VJP wrapper (kernel fwd, recompute-XLA bwd)
+                from pram_tpu.ops.train_vjp import residual_mlp
+
+                out = residual_mlp(
                     cat, m_cat, wp_, bp_, w0_, b0_, g_, be_, w3_, b3_
                 )
             if cat_in:

@@ -199,6 +199,113 @@ self_attention_proj.defvjp(_self_attn_fwd, _self_attn_bwd)
 
 
 # ---------------------------------------------------------------------------
+# symmetric cross-attention with in-kernel projections (GML/AdaGML layers)
+# ---------------------------------------------------------------------------
+
+
+def cross_attention_proj_ref(
+    cat, wqk, bqk, wv, bv, bias0, bias1, *, scale, heads, n0
+):
+    """XLA math of ops/attention_pallas._cross_proj_kernel.
+
+    ``cat`` ``[B, N0+N1, D]`` token concatenation; shared to_qk/to_v
+    projections (columns are head-major, no permutation — single
+    matrices reshape directly); symmetric similarity softmaxed along
+    each axis for the two directions; ``bias0/bias1`` additive f32 key
+    masks. Returns messages for the concatenation ``[B, N0+N1, d]``.
+    """
+    b, n, _ = cat.shape
+    d = wqk.shape[-1]
+    hd = d // heads
+    n1 = n - n0
+    qk = (
+        jnp.einsum(
+            "bnd,df->bnf", cat, wqk.astype(cat.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + bqk.astype(jnp.float32)
+    ).astype(cat.dtype)
+    v = (
+        jnp.einsum(
+            "bnd,df->bnf", cat, wv.astype(cat.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + bv.astype(jnp.float32)
+    ).astype(cat.dtype)
+    qk0 = qk[:, :n0].reshape(b, n0, heads, hd)
+    qk1 = qk[:, n0:].reshape(b, n1, heads, hd)
+    v0 = v[:, :n0].reshape(b, n0, heads, hd)
+    v1 = v[:, n0:].reshape(b, n1, heads, hd)
+    sim = (
+        jnp.einsum(
+            "bnhd,bmhd->bhnm", qk0, qk1,
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    l01 = sim + bias1[:, None, None, :].astype(jnp.float32)
+    l01 -= jnp.max(l01, axis=-1, keepdims=True)
+    e01 = jnp.exp(l01)
+    a01 = (e01 / jnp.sum(e01, axis=-1, keepdims=True)).astype(v1.dtype)
+    l10 = sim + bias0[:, None, :, None].astype(jnp.float32)
+    l10 -= jnp.max(l10, axis=-2, keepdims=True)
+    e10 = jnp.exp(l10)
+    a10 = (e10 / jnp.sum(e10, axis=-2, keepdims=True)).astype(v0.dtype)
+    m0 = jnp.einsum(
+        "bhnm,bmhd->bnhd", a01, v1, preferred_element_type=jnp.float32
+    ).astype(cat.dtype).reshape(b, n0, d)
+    m1 = jnp.einsum(
+        "bhnm,bnhd->bmhd", a10, v0, preferred_element_type=jnp.float32
+    ).astype(cat.dtype).reshape(b, n1, d)
+    return jnp.concatenate([m0, m1], axis=1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def cross_attention_proj(
+    cat, wqk, bqk, wv, bv, bias0, bias1,
+    scale: float, heads: int, n0: int,
+):
+    """Kernel forward / recompute-XLA backward symmetric cross attention.
+
+    Same contract as self_attention_proj: call only when the fused cross
+    gate passes; off-TPU primal traces run the XLA reference.
+    """
+    if jax.default_backend() == "tpu":
+        from pram_tpu.ops.attention_pallas import (
+            fused_cross_attention_proj,
+        )
+
+        return fused_cross_attention_proj(
+            cat, wqk, bqk, wv, bv, bias0, bias1, scale, heads, n0
+        ).astype(cat.dtype)
+    return cross_attention_proj_ref(
+        cat, wqk, bqk, wv, bv, bias0, bias1,
+        scale=scale, heads=heads, n0=n0,
+    )
+
+
+def _cross_attn_fwd(cat, wqk, bqk, wv, bv, bias0, bias1, scale, heads, n0):
+    out = cross_attention_proj(
+        cat, wqk, bqk, wv, bv, bias0, bias1, scale, heads, n0
+    )
+    return out, (cat, wqk, bqk, wv, bv, bias0, bias1)
+
+
+def _cross_attn_bwd(scale, heads, n0, res, g):
+    cat = res[0]
+    _, vjp_fn = jax.vjp(
+        lambda *a: cross_attention_proj_ref(
+            *a, scale=scale, heads=heads, n0=n0
+        ),
+        *res,
+    )
+    return vjp_fn(g.astype(cat.dtype))
+
+
+cross_attention_proj.defvjp(_cross_attn_fwd, _cross_attn_bwd)
+
+
+# ---------------------------------------------------------------------------
 # residual concat-MLP tail
 # ---------------------------------------------------------------------------
 

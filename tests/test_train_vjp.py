@@ -191,3 +191,87 @@ def test_attention_bwd_kernel_matches_autodiff(
             np.asarray(a), np.asarray(bgrad), rtol=2e-4, atol=2e-4,
             err_msg=name,
         )
+
+
+def test_cross_attention_ref_matches_kernel_interpret(rng):
+    """cross_attention_proj_ref mirrors the fused kernel's math exactly
+    (interpret mode)."""
+    from pram_tpu.ops.attention_pallas import fused_cross_attention_proj
+    from pram_tpu.ops.train_vjp import cross_attention_proj_ref
+
+    b, n0, n1, heads, hd = 2, 24, 16, 4, 32
+    d = heads * hd
+    cat = jnp.asarray(rng.randn(b, n0 + n1, d).astype(np.float32))
+    wqk = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.1)
+    bqk = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    wv = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.1)
+    bv = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    bias0 = jnp.asarray(
+        np.where(rng.rand(b, n0) < 0.2, -1e9, 0.0).astype(np.float32)
+    )
+    bias1 = jnp.asarray(
+        np.where(rng.rand(b, n1) < 0.2, -1e9, 0.0).astype(np.float32)
+    )
+    scale = hd**-0.5
+
+    ref = cross_attention_proj_ref(
+        cat, wqk, bqk, wv, bv, bias0, bias1,
+        scale=scale, heads=heads, n0=n0,
+    )
+    got = fused_cross_attention_proj(
+        cat, wqk, bqk, wv, bv, bias0, bias1, scale, heads, n0,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_cross_attention_vjp_matches_autodiff(rng):
+    """The custom-VJP wrapper's gradients equal plain autodiff of the
+    reference for every differentiable input."""
+    from pram_tpu.ops.train_vjp import (
+        cross_attention_proj,
+        cross_attention_proj_ref,
+    )
+
+    b, n0, n1, heads, hd = 2, 16, 12, 2, 16
+    d = heads * hd
+    cat = jnp.asarray(rng.randn(b, n0 + n1, d).astype(np.float32))
+    wqk = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.1)
+    bqk = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    wv = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.1)
+    bv = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    bias0 = jnp.zeros((b, n0), jnp.float32)
+    bias1 = jnp.asarray(
+        np.where(rng.rand(b, n1) < 0.2, -1e9, 0.0).astype(np.float32)
+    )
+    scale = hd**-0.5
+    ct = jnp.asarray(rng.randn(b, n0 + n1, d).astype(np.float32))
+
+    def via_wrapper(*args):
+        return jnp.sum(
+            cross_attention_proj(*args, scale, heads, n0) * ct
+        )
+
+    def via_ref(*args):
+        return jnp.sum(
+            cross_attention_proj_ref(
+                *args, scale=scale, heads=heads, n0=n0
+            )
+            * ct
+        )
+
+    gw = jax.grad(via_wrapper, argnums=tuple(range(7)))(
+        cat, wqk, bqk, wv, bv, bias0, bias1
+    )
+    gr = jax.grad(via_ref, argnums=tuple(range(7)))(
+        cat, wqk, bqk, wv, bv, bias0, bias1
+    )
+    for name, a, bg in zip(
+        ["cat", "wqk", "bqk", "wv", "bv", "bias0", "bias1"], gw, gr
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bg), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )
