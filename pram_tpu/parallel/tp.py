@@ -318,6 +318,294 @@ def sp_segnetvit_forward(
     return jax.jit(fn)(variables, descriptors, norm_keypoints, mask)
 
 
+def make_tp_sp_segnetvit_fn(mesh: Mesh, config: SegNetViTConfig, variables):
+    """Composed 3-axis parallelism: batch over 'data', tokens over 'seq',
+    heads + seg head over 'model' — the TP and SP formulations above in
+    ONE shard_map.
+
+    Per layer: each device projects qkv for its token block restricted to
+    its local heads, applies rotary, and ONE 'seq' all-gather delivers
+    the stacked (k, v) of all token blocks — sized 1/msize of the pure-SP
+    gather because only local heads ride it. Attention runs local queries
+    x full keys on local heads; the row-sharded output projection costs
+    ONE 'model' psum. MLP replicated/token-local; seg head exactly the TP
+    formulation (distributed LN + logit psums). Collective schedule:
+    n_layers 'seq' all-gathers + (n_layers + 2) 'model' all-reduces,
+    asserted from compiled HLO in tests/test_model_axis.py.
+
+    Parameters use the SAME layout as ``segnetvit_tp_specs`` (qkv/seg_0
+    column-sharded, proj/seg_3 row-sharded), so TP checkpoints drive this
+    forward unchanged. Returns ``fn(variables, descs, nk, mask) ->
+    logits`` (un-jitted).
+    """
+    cfg = config
+    assert not cfg.with_sc
+    msize = mesh.shape["model"]
+    h, hd = cfg.num_heads, cfg.hidden_dim // cfg.num_heads
+    assert h % msize == 0
+    assert cfg.output_dim % msize == 0
+    h_loc = h // msize
+    scale = hd**-0.5
+    eps = 1e-6
+
+    def fwd(v, descs, nk, m_full):
+        p = v["params"]
+        b, n_loc, _ = descs.shape
+
+        proj = nk @ p["kenc"]["Wr"]["kernel"]  # local tokens
+        cos = jnp.repeat(jnp.cos(proj), 2, axis=-1)[:, None]
+        sin = jnp.repeat(jnp.sin(proj), 2, axis=-1)[:, None]
+
+        def rot_half(t):
+            tp = t.reshape(*t.shape[:-1], -1, 2)
+            return jnp.stack([-tp[..., 1], tp[..., 0]], axis=-1).reshape(
+                t.shape
+            )
+
+        x = descs @ p["input_proj"]["kernel"] + p["input_proj"]["bias"]
+
+        for i in range(cfg.n_layers):
+            g = p[f"gnn_{i}"]
+            qkv = x @ g["qkv"]["kernel"] + g["qkv"]["bias"]  # local heads
+            qkv = jnp.moveaxis(qkv.reshape(b, n_loc, h_loc, hd, 3), 2, 1)
+            q, k, vv = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+            q = q * cos + rot_half(q) * sin
+            k = k * cos + rot_half(k) * sin  # rotary BEFORE the gather
+            kv = jnp.concatenate([k, vv], axis=-1)
+            kv_full = jax.lax.all_gather(
+                kv, "seq", axis=2, tiled=True
+            )  # [B, h_loc, N, 2hd]
+            k_full, v_full = kv_full[..., :hd], kv_full[..., hd:]
+            logits = (
+                jnp.einsum(
+                    "bhid,bhjd->bhij", q, k_full,
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            logits = jnp.where(m_full[:, None, None, :], logits, -1e9)
+            attn = jax.nn.softmax(logits, axis=-1).astype(v_full.dtype)
+            msg = jnp.einsum(
+                "bhij,bhjd->bhid", attn, v_full,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            msg = jnp.moveaxis(msg, 1, 2).reshape(b, n_loc, h_loc * hd)
+            # row-sharded output projection -> ONE 'model' psum per layer
+            msg = (
+                jax.lax.psum(msg @ g["proj"]["kernel"], "model")
+                + g["proj"]["bias"]
+            )
+            y = jnp.concatenate([x, msg], axis=-1)
+            y = y @ g["mlp_0"]["kernel"] + g["mlp_0"]["bias"]
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - mu * mu
+            y = (y - mu) * jax.lax.rsqrt(var + eps)
+            y = y * g["mlp_ln"]["scale"] + g["mlp_ln"]["bias"]
+            y = jax.nn.gelu(y, approximate=False)
+            x = x + (y @ g["mlp_3"]["kernel"] + g["mlp_3"]["bias"])
+
+        # seg head: TP formulation, token-local over the 'seq' shard
+        y = x @ p["seg_0"]["kernel"] + p["seg_0"]["bias"]
+        stats = jnp.stack(
+            [jnp.sum(y, axis=-1), jnp.sum(jnp.square(y), axis=-1)], -1
+        )
+        stats = jax.lax.psum(stats, "model")
+        mu = stats[..., 0:1] / cfg.output_dim
+        var = stats[..., 1:2] / cfg.output_dim - mu * mu
+        y = (y - mu) * jax.lax.rsqrt(var + eps)
+        y = y * p["seg_ln"]["scale"] + p["seg_ln"]["bias"]
+        y = jax.nn.gelu(y, approximate=False)
+        return (
+            jax.lax.psum(y @ p["seg_3"]["kernel"], "model")
+            + p["seg_3"]["bias"]
+        )
+
+    specs = segnetvit_tp_specs(variables, msize)
+    return jax.shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(
+            specs,
+            P("data", "seq", None),
+            P("data", "seq", None),
+            P("data"),  # full key mask on every shard
+        ),
+        out_specs=P("data", "seq", None),
+        check_vma=False,
+    )
+
+
+def _segnetvit_layer_math(g, x, cos, sin, mask, *, heads, eps=1e-6):
+    """One SegNetViT transformer layer, explicit XLA math (the per-device
+    computation shared by the SP/TP/PP shard_map forwards; mirrors
+    models/common.py:SelfAttentionBlock's XLA path head-for-head)."""
+    b, n, hidden = x.shape
+    hd = hidden // heads
+    scale = hd**-0.5
+
+    def rot_half(t):
+        tp = t.reshape(*t.shape[:-1], -1, 2)
+        return jnp.stack([-tp[..., 1], tp[..., 0]], axis=-1).reshape(t.shape)
+
+    qkv = x @ g["qkv"]["kernel"] + g["qkv"]["bias"]
+    qkv = jnp.moveaxis(qkv.reshape(b, n, heads, hd, 3), 2, 1)
+    q, k, vv = qkv[..., 0], qkv[..., 1], qkv[..., 2]
+    q = q * cos + rot_half(q) * sin
+    k = k * cos + rot_half(k) * sin
+    logits = (
+        jnp.einsum(
+            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+    attn = jax.nn.softmax(logits, axis=-1).astype(vv.dtype)
+    msg = jnp.einsum(
+        "bhij,bhjd->bhid", attn, vv, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    msg = jnp.moveaxis(msg, 1, 2).reshape(b, n, hidden)
+    msg = msg @ g["proj"]["kernel"] + g["proj"]["bias"]
+    y = jnp.concatenate([x, msg], axis=-1)
+    y = y @ g["mlp_0"]["kernel"] + g["mlp_0"]["bias"]
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - mu * mu
+    y = (y - mu) * jax.lax.rsqrt(var + eps)
+    y = y * g["mlp_ln"]["scale"] + g["mlp_ln"]["bias"]
+    y = jax.nn.gelu(y, approximate=False)
+    return x + (y @ g["mlp_3"]["kernel"] + g["mlp_3"]["bias"])
+
+
+def stack_segnetvit_layers(variables, n_layers: int):
+    """Split SegNetViT variables into (stacked layer params, io params).
+
+    The stacked pytree has each ``gnn_i`` leaf stacked on a new leading
+    layer axis — shard it ``P('pipe')`` so each pipeline stage holds a
+    contiguous block of layers; everything else (kenc, input_proj, seg
+    head) replicates.
+    """
+    p = variables["params"]
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves, axis=0),
+        *[p[f"gnn_{i}"] for i in range(n_layers)],
+    )
+    io = {k: v for k, v in p.items() if not k.startswith("gnn_")}
+    return stacked, io
+
+
+def make_pp_segnetvit_fn(
+    mesh: Mesh, config: SegNetViTConfig, n_micro: int
+):
+    """Pipeline-parallel SegNetViT forward over a mesh 'pipe' axis
+    (GPipe schedule under shard_map).
+
+    The layer stack is split into ``psize`` contiguous stages, each
+    stage's parameters living only on its device (``P('pipe')`` on the
+    stacked layer axis — the memory win: 1/psize of the transformer
+    stack per device). The batch is cut into ``n_micro`` microbatches;
+    at schedule step t, stage s processes microbatch t - s, so the
+    pipeline fills in psize - 1 bubble steps and then streams. One
+    ``ppermute`` per step hands activations to the next stage
+    (n_micro + psize - 1 total) and ONE masked psum replicates the last
+    stage's logits. Input projection / rotary / head parameters
+    replicate (they are a rounding error next to the stack).
+
+    The reference has nothing comparable (DP-only, train.py:64-108);
+    this is the 'pp' member of the dp/tp/sp/pp family, pinned equal to
+    the replicated forward in tests/test_model_axis.py.
+
+    Returns ``fn(stacked, io, descs, nk, mask) -> logits`` (un-jitted);
+    build inputs with :func:`stack_segnetvit_layers`. Batch must divide
+    n_micro; n_layers must divide the 'pipe' axis size.
+    """
+    cfg = config
+    assert not cfg.with_sc
+    psize = mesh.shape["pipe"]
+    assert cfg.n_layers % psize == 0
+    l_loc = cfg.n_layers // psize
+    heads = cfg.num_heads
+    eps = 1e-6
+    steps = n_micro + psize - 1
+    fwd_perm = [(i, i + 1) for i in range(psize - 1)]
+
+    def fwd(stacked, io, descs, nk, mask):
+        b, n, _ = descs.shape
+        assert b % n_micro == 0
+        mb = b // n_micro
+        s = jax.lax.axis_index("pipe")
+
+        proj = nk @ io["kenc"]["Wr"]["kernel"]
+        cos_all = jnp.repeat(jnp.cos(proj), 2, axis=-1)[:, None]
+        sin_all = jnp.repeat(jnp.sin(proj), 2, axis=-1)[:, None]
+        x_all = descs @ io["input_proj"]["kernel"] + io["input_proj"]["bias"]
+
+        def micro(t_arr, full):
+            # microbatch slice at clamped index (bubble steps reuse a
+            # valid slice; their results are masked out)
+            start = jnp.clip(t_arr, 0, n_micro - 1) * mb
+            return jax.lax.dynamic_slice_in_dim(full, start, mb, axis=0)
+
+        def run_stage(h, cos, sin, m):
+            def body(carry, g):
+                return (
+                    _segnetvit_layer_math(
+                        g, carry, cos, sin, m, heads=heads
+                    ),
+                    None,
+                )
+
+            out, _ = jax.lax.scan(body, h, stacked)
+            return out
+
+        carry = jnp.zeros((mb, n, cfg.hidden_dim), x_all.dtype)
+        out_sum = jnp.zeros((b, n, cfg.n_class), jnp.float32)
+
+        for t in range(steps):
+            recv = jax.lax.ppermute(carry, "pipe", fwd_perm)
+            my_t = t - s  # microbatch index this stage works on
+            inject = micro(my_t, x_all)
+            h = jnp.where((s == 0)[None, None, None], inject, recv)
+            cos = micro(my_t, cos_all)
+            sin = micro(my_t, sin_all)
+            m = micro(my_t, mask)
+            h = run_stage(h, cos, sin, m)
+            carry = h
+
+            # head on the last stage, when its microbatch index is valid
+            y = h @ io["seg_0"]["kernel"] + io["seg_0"]["bias"]
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - mu * mu
+            y = (y - mu) * jax.lax.rsqrt(var + eps)
+            y = y * io["seg_ln"]["scale"] + io["seg_ln"]["bias"]
+            y = jax.nn.gelu(y, approximate=False)
+            logits = y @ io["seg_3"]["kernel"] + io["seg_3"]["bias"]
+            valid = (s == psize - 1) & (my_t >= 0) & (my_t < n_micro)
+            pad = jnp.zeros((b - mb, n, cfg.n_class), jnp.float32)
+            placed = jnp.concatenate(
+                [logits.astype(jnp.float32), pad], axis=0
+            )
+            shift = jnp.clip(my_t, 0, n_micro - 1) * mb
+            placed = jnp.roll(placed, shift, axis=0)
+            out_sum = out_sum + jnp.where(valid, 1.0, 0.0) * placed
+
+        # replicate the last stage's assembled logits everywhere
+        out = jax.lax.psum(out_sum, "pipe")
+        return out.astype(x_all.dtype)
+
+    return jax.shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(
+            P("pipe"),  # stacked layer axis (prefix spec for the pytree)
+            P(),  # io params replicated
+            P("data"),
+            P("data"),
+            P("data"),
+        ),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+
+
 def make_sp_gml_fn(mesh: Mesh, config):
     """Sequence-parallel GML matcher forward over a mesh 'seq' axis.
 

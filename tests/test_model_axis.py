@@ -407,3 +407,97 @@ def test_sequence_parallel_gml_matches_replicated(rng):
     hlo = fn.lower(variables, d0, d1, k0, k1, m0, m1).compile().as_text()
     assert hlo.count(" all-gather(") == 2 * cfg.n_layers + 1, hlo[:2000]
     assert hlo.count(" all-reduce(") == 1
+
+
+def test_tp_sp_composed_matches_replicated(rng):
+    """3-axis composition (parallel/tp.py:make_tp_sp_segnetvit_fn):
+    batch x tokens x heads sharded simultaneously, equal to the
+    replicated forward with the documented collective schedule."""
+    from jax.sharding import Mesh, NamedSharding
+
+    from pram_tpu.parallel.tp import (
+        make_tp_sp_segnetvit_fn,
+        segnetvit_tp_specs,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, axis_names=("data", "seq", "model"))
+    cfg = SegNetViTConfig(
+        descriptor_dim=64, hidden_dim=64, output_dim=128, n_class=17,
+        n_layers=2, num_heads=4,
+    )
+    model = SegNetViT(cfg)
+    b, n = 4, 64
+    descs = jnp.asarray(rng.randn(b, n, 64).astype(np.float32))
+    nk = jnp.asarray((rng.rand(b, n, 2) * 2 - 1).astype(np.float32))
+    mask = jnp.asarray(rng.rand(b, n) > 0.1)
+    variables = model.init(jax.random.PRNGKey(0), descs, nk, mask)
+
+    ref = jax.jit(
+        lambda v, d, k, m: model.apply(v, d, k, m)["prediction"]
+    )(variables, descs, nk, mask)
+
+    # place parameters in the TP layout on the 3-axis mesh
+    specs = segnetvit_tp_specs(variables, 2)
+    placed = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        variables, specs,
+    )
+    fn = make_tp_sp_segnetvit_fn(mesh, cfg, variables)
+    got = jax.jit(fn)(placed, descs, nk, mask)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    # collective accounting: n_layers 'seq' gathers, n_layers + 2 'model'
+    # all-reduces, nothing else
+    hlo = jax.jit(fn).lower(placed, descs, nk, mask).compile().as_text()
+    assert hlo.count(" all-gather(") == cfg.n_layers, hlo[:2000]
+    assert hlo.count(" all-reduce(") <= cfg.n_layers + 2
+
+
+def test_pipeline_parallel_matches_replicated(rng):
+    """PP (parallel/tp.py:make_pp_segnetvit_fn): layer stack split into
+    'pipe' stages, GPipe microbatch schedule, equal to the replicated
+    forward; one ppermute per schedule step + one final psum."""
+    from jax.sharding import Mesh
+
+    from pram_tpu.parallel.tp import (
+        make_pp_segnetvit_fn,
+        stack_segnetvit_layers,
+    )
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, axis_names=("data", "pipe"))
+    cfg = SegNetViTConfig(
+        descriptor_dim=64, hidden_dim=64, output_dim=128, n_class=17,
+        n_layers=4, num_heads=2,
+    )
+    model = SegNetViT(cfg)
+    b, n = 8, 32
+    descs = jnp.asarray(rng.randn(b, n, 64).astype(np.float32))
+    nk = jnp.asarray((rng.rand(b, n, 2) * 2 - 1).astype(np.float32))
+    mask = jnp.asarray(rng.rand(b, n) > 0.1)
+    variables = model.init(jax.random.PRNGKey(0), descs, nk, mask)
+
+    ref = jax.jit(
+        lambda v, d, k, m: model.apply(v, d, k, m)["prediction"]
+    )(variables, descs, nk, mask)
+
+    stacked, io = stack_segnetvit_layers(variables, cfg.n_layers)
+    n_micro = 2
+    fn = jax.jit(make_pp_segnetvit_fn(mesh, cfg, n_micro))
+    got = fn(stacked, io, descs, nk, mask)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    # collective accounting: n_micro + psize - 1 collective-permutes,
+    # one all-reduce, no all-gathers
+    hlo = fn.lower(stacked, io, descs, nk, mask).compile().as_text()
+    assert hlo.count(" collective-permute(") == n_micro + 4 - 1, hlo[:2000]
+    assert hlo.count(" all-reduce(") == 1
+    assert " all-gather(" not in hlo
