@@ -167,6 +167,165 @@ def _bwd_kernel(
             dsin_ref[0, lo:hi, :] = jnp.zeros((m, hd), jnp.float32)
 
 
+def cross_attention_bwd_supported(
+    n0: int, n1: int, d: int, itemsize: int
+) -> bool:
+    """VMEM gate for the cross backward: qk/v/g/dqk/dv blocks over both
+    sides + ~four live [N0, N1] f32 temporaries."""
+    if (n0 + n1) % 8 != 0 or d % 128 != 0:
+        return False
+    n = n0 + n1
+    io = 5 * n * d * itemsize  # qk, v, g, dqk, dv
+    live = 4 * n0 * n1 * 4  # a01/a10/dp/dsim generation live set
+    return io + live <= _VMEM_BUDGET
+
+
+def _cross_bwd_kernel(
+    qk_ref, v_ref, b0_ref, b1_ref, g_ref,
+    dqk_ref, dv_ref, db0_ref, db1_ref,
+    *, scale, heads, hd, n0,
+):
+    """Backward of the symmetric shared-QK cross attention
+    (ops/attention_pallas._cross_proj_kernel math): the shared qk means
+    each side's projection gradient combines its query role in one
+    direction with its key role in the other."""
+    n_total = g_ref.shape[1]
+    n1 = n_total - n0
+    dtype = qk_ref.dtype
+    db0_acc = jnp.zeros((1, n0), jnp.float32)
+    db1_acc = jnp.zeros((1, n1), jnp.float32)
+    bias0 = b0_ref[0]  # [1, N0] f32
+    bias1 = b1_ref[0]  # [1, N1] f32
+    for h in range(heads):
+        s = slice(h * hd, (h + 1) * hd)
+        qk0 = qk_ref[0, :n0, s]
+        qk1 = qk_ref[0, n0:, s]
+        v0 = v_ref[0, :n0, s]
+        v1 = v_ref[0, n0:, s]
+        g0 = g_ref[0, :n0, s]
+        g1 = g_ref[0, n0:, s]
+
+        sim = (
+            jax.lax.dot_general(
+                qk0, qk1, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # [N0, N1]
+
+        # direction 0 -> 1 (row softmax over side-1 keys)
+        l01 = sim + bias1
+        l01 -= jnp.max(l01, axis=-1, keepdims=True)
+        e01 = jnp.exp(l01)
+        a01 = e01 / jnp.sum(e01, axis=-1, keepdims=True)
+        dp01 = jax.lax.dot_general(
+            g0, v1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t01 = jnp.sum(dp01 * a01, axis=-1, keepdims=True)
+        dsim01 = a01 * (dp01 - t01)
+        db1_acc += jnp.sum(dsim01, axis=0, keepdims=True)
+        dv1 = jax.lax.dot_general(
+            a01.astype(dtype), g0, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # direction 1 -> 0 (column softmax over side-0 keys)
+        l10 = sim + jnp.transpose(bias0)  # [N0, 1] broadcast over cols
+        l10 -= jnp.max(l10, axis=0, keepdims=True)
+        e10 = jnp.exp(l10)
+        a10 = e10 / jnp.sum(e10, axis=0, keepdims=True)
+        dp10 = jax.lax.dot_general(
+            v0, g1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # dp10[i, j] = v0[i] . g1[j]
+        t10 = jnp.sum(dp10 * a10, axis=0, keepdims=True)
+        dsim10 = a10 * (dp10 - t10)
+        db0_acc += jnp.transpose(jnp.sum(dsim10, axis=1, keepdims=True))
+        dv0 = jax.lax.dot_general(
+            a10.astype(dtype), g1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        dsim = (dsim01 + dsim10).astype(dtype)
+        dqk0 = (
+            jax.lax.dot_general(
+                dsim, qk1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        dqk1 = (
+            jax.lax.dot_general(
+                dsim, qk0, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        dqk_ref[0, :n0, s] = dqk0.astype(dtype)
+        dqk_ref[0, n0:, s] = dqk1.astype(dtype)
+        dv_ref[0, :n0, s] = dv0.astype(dtype)
+        dv_ref[0, n0:, s] = dv1.astype(dtype)
+    db0_ref[0, 0, :] = db0_acc[0]
+    db1_ref[0, 0, :] = db1_acc[0]
+
+
+def fused_cross_attention_bwd(
+    qk, v, bias0, bias1, g, scale, heads, n0, *, interpret=False
+):
+    """Backward of symmetric cross attention w.r.t. (qk, v, bias0, bias1).
+
+    ``qk``/``v``: ``[B, N0+N1, D]`` shared projections (recomputed by the
+    caller); ``g``: cotangent of the message concatenation. Returns
+    (dqk, dv ``[B, N0+N1, D]``, dbias0 ``[B, N0]``, dbias1 ``[B, N1]``
+    f32).
+    """
+    interpret = interpret or _INTERPRET
+    b, n, d = qk.shape
+    hd = d // heads
+    n1 = n - n0
+    b0 = bias0[:, None, :].astype(jnp.float32)
+    b1 = bias1[:, None, :].astype(jnp.float32)
+
+    kern = partial(
+        _cross_bwd_kernel, scale=scale, heads=heads, hd=hd, n0=n0
+    )
+    dqk, dv, db0, db1 = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n0), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n0), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d), qk.dtype),
+            jax.ShapeDtypeStruct((b, n, d), qk.dtype),
+            jax.ShapeDtypeStruct((b, 1, n0), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qk, v, b0, b1, g)
+    return dqk, dv, db0[:, 0, :], db1[:, 0, :]
+
+
 def fused_self_attention_bwd(
     qkv, cos, sin, key_bias, g, scale, heads, splits=None,
     *, rotary=True, interpret=False,

@@ -292,7 +292,65 @@ def _cross_attn_fwd(cat, wqk, bqk, wv, bv, bias0, bias1, scale, heads, n0):
 
 
 def _cross_attn_bwd(scale, heads, n0, res, g):
-    cat = res[0]
+    cat, wqk, bqk, wv, bv, bias0, bias1 = res
+    use_kernel = False
+    if attn_bwd_kernel_enabled():
+        from pram_tpu.ops import attention_bwd_pallas as abp
+
+        d = wqk.shape[-1]
+        use_kernel = (
+            jax.default_backend() == "tpu" or abp._INTERPRET
+        ) and abp.cross_attention_bwd_supported(
+            n0, cat.shape[1] - n0, d, cat.dtype.itemsize
+        )
+    if use_kernel:
+        from pram_tpu.ops.attention_bwd_pallas import (
+            fused_cross_attention_bwd,
+        )
+
+        qk = (
+            jnp.einsum(
+                "bnd,df->bnf", cat, wqk.astype(cat.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + bqk.astype(jnp.float32)
+        ).astype(cat.dtype)
+        v = (
+            jnp.einsum(
+                "bnd,df->bnf", cat, wv.astype(cat.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + bv.astype(jnp.float32)
+        ).astype(cat.dtype)
+        dqk, dv, db0, db1 = fused_cross_attention_bwd(
+            qk, v, bias0, bias1, g.astype(cat.dtype), scale, heads, n0
+        )
+        dcat = (
+            jnp.einsum(
+                "bnf,df->bnd", dqk, wqk.astype(dqk.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + jnp.einsum(
+                "bnf,df->bnd", dv, wv.astype(dv.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        ).astype(cat.dtype)
+        dwqk = jnp.einsum(
+            "bnd,bnf->df", cat, dqk, preferred_element_type=jnp.float32
+        ).astype(wqk.dtype)
+        dbqk = jnp.sum(
+            dqk.astype(jnp.float32), axis=(0, 1)
+        ).astype(bqk.dtype)
+        dwv = jnp.einsum(
+            "bnd,bnf->df", cat, dv, preferred_element_type=jnp.float32
+        ).astype(wv.dtype)
+        dbv = jnp.sum(
+            dv.astype(jnp.float32), axis=(0, 1)
+        ).astype(bv.dtype)
+        return (
+            dcat, dwqk, dbqk, dwv, dbv,
+            db0.astype(bias0.dtype), db1.astype(bias1.dtype),
+        )
     _, vjp_fn = jax.vjp(
         lambda *a: cross_attention_proj_ref(
             *a, scale=scale, heads=heads, n0=n0

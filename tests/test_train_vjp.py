@@ -275,3 +275,62 @@ def test_cross_attention_vjp_matches_autodiff(rng):
             np.asarray(a), np.asarray(bg), rtol=2e-4, atol=2e-4,
             err_msg=name,
         )
+
+
+def test_cross_attention_bwd_kernel_matches_autodiff(rng, monkeypatch):
+    """PRAM_ATTN_BWD=1 routes the cross backward through the Pallas
+    kernel (interpret-forced on CPU); all 7 cotangents must match
+    autodiff of the XLA reference — including the combined query+key
+    gradient of the SHARED qk projection."""
+    from pram_tpu.ops import attention_bwd_pallas as abp
+    from pram_tpu.ops.train_vjp import (
+        cross_attention_proj,
+        cross_attention_proj_ref,
+    )
+
+    monkeypatch.setenv("PRAM_ATTN_BWD", "1")
+    monkeypatch.setattr(abp, "_INTERPRET", True)
+
+    b, n0, n1, heads, hd = 2, 40, 24, 4, 32
+    d = heads * hd
+    assert abp.cross_attention_bwd_supported(n0, n1, d, 4)
+    cat = jnp.asarray(rng.randn(b, n0 + n1, d).astype(np.float32))
+    wqk = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.1)
+    bqk = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    wv = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.1)
+    bv = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    bias0 = jnp.asarray(
+        np.where(rng.rand(b, n0) < 0.2, -1e9, 0.0).astype(np.float32)
+    )
+    bias1 = jnp.asarray(
+        np.where(rng.rand(b, n1) < 0.2, -1e9, 0.0).astype(np.float32)
+    )
+    scale = hd**-0.5
+    ct = jnp.asarray(rng.randn(b, n0 + n1, d).astype(np.float32))
+
+    def via_wrapper(*args):
+        return jnp.sum(
+            cross_attention_proj(*args, scale, heads, n0) * ct
+        )
+
+    def via_ref(*args):
+        return jnp.sum(
+            cross_attention_proj_ref(
+                *args, scale=scale, heads=heads, n0=n0
+            )
+            * ct
+        )
+
+    gw = jax.grad(via_wrapper, argnums=tuple(range(7)))(
+        cat, wqk, bqk, wv, bv, bias0, bias1
+    )
+    gr = jax.grad(via_ref, argnums=tuple(range(7)))(
+        cat, wqk, bqk, wv, bv, bias0, bias1
+    )
+    for name, a, bg in zip(
+        ["cat", "wqk", "bqk", "wv", "bv", "bias0", "bias1"], gw, gr
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bg), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )
