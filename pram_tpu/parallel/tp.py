@@ -606,7 +606,7 @@ def make_pp_segnetvit_fn(
     )
 
 
-def make_sp_gml_fn(mesh: Mesh, config):
+def make_sp_gml_fn(mesh: Mesh, config, match_threshold=None):
     """Sequence-parallel GML matcher forward over a mesh 'seq' axis.
 
     Long-context matching beyond one chip's VMEM/HBM comfort zone: both
@@ -647,6 +647,14 @@ def make_sp_gml_fn(mesh: Mesh, config):
     ``[B, N0, M+1]`` valid-row block sharded over 'seq', ``dustbin_row``
     the replicated ``[B, M+1]`` last row. Both token counts must divide
     the 'seq' axis size.
+
+    With ``match_threshold`` set, the returned fn instead performs the
+    mutual-max readout (ops/matching.py:mutual_matches) DISTRIBUTED —
+    the ``[N0, M]`` plan never leaves its row shards; the column
+    argmax reduces over 'seq' via one small [S, B, M] gather and the
+    side-0 row results are re-assembled with [B, N0]-sized gathers —
+    and returns a replicated ``MatchResult``, pinned equal to
+    ``extract_matches`` of the replicated plan.
     """
     cfg = config
     ssize = mesh.shape["seq"]
@@ -875,8 +883,77 @@ def make_sp_gml_fn(mesh: Mesh, config):
         dust_row = (u_dust[:, None] * inv_mp1) * vfin
         return plan_rows, dust_row
 
+    def fwd_match(v, d0, d1, nk0, nk1, m0_full, m1_full):
+        from pram_tpu.ops.matching import MatchResult
+
+        plan_rows, _ = fwd(v, d0, d1, nk0, nk1, m0_full, m1_full)
+        scores = plan_rows[:, :, :-1]  # [B, n0_loc, M] dustbin col dropped
+        b, n0_loc, m = scores.shape
+        lo = jax.lax.axis_index("seq") * n0_loc
+
+        # row maxima: local (full columns present)
+        max0_loc = jnp.max(scores, axis=2)
+        idx0_loc = jnp.argmax(scores, axis=2).astype(jnp.int32)
+
+        # column maxima: local block reduction, then a small [S, B, M]
+        # gather; first-device-wins on ties = global first-occurrence,
+        # matching jnp.argmax semantics
+        colmax_loc = jnp.max(scores, axis=1)
+        colarg_loc = lo + jnp.argmax(scores, axis=1).astype(jnp.int32)
+        gm = jax.lax.all_gather(colmax_loc, "seq", axis=0, tiled=False)
+        ga = jax.lax.all_gather(colarg_loc, "seq", axis=0, tiled=False)
+        s_star = jnp.argmax(gm, axis=0)[None]  # [1, B, M]
+        max1 = jnp.take_along_axis(gm, s_star, axis=0)[0]
+        indices1 = jnp.take_along_axis(ga, s_star, axis=0)[0]
+
+        # side-0 mutual check on local rows (global row ids)
+        ar0 = lo + jnp.arange(n0_loc, dtype=jnp.int32)[None, :]
+        mutual0 = ar0 == jnp.take_along_axis(indices1, idx0_loc, axis=1)
+        zero = jnp.zeros((), scores.dtype)
+        mscores0_loc = jnp.where(mutual0, max0_loc, zero)
+        valid0_loc = mutual0 & (mscores0_loc > match_threshold)
+        matches0_loc = jnp.where(
+            valid0_loc, idx0_loc, jnp.full((), -1, jnp.int32)
+        )
+
+        # assemble full side-0 rows ([B, N0]-sized gathers, tiny next to
+        # the [N0, M] plan that never leaves its shards)
+        def row_gather(t):
+            return jax.lax.all_gather(t, "seq", axis=1, tiled=True)
+
+        idx0_full = row_gather(idx0_loc)
+        mscores0 = row_gather(mscores0_loc)
+        valid0 = row_gather(valid0_loc)
+        matches0 = row_gather(matches0_loc)
+
+        # side-1 mutual check (replicated)
+        ar1 = jnp.arange(m, dtype=jnp.int32)[None, :]
+        mutual1 = ar1 == jnp.take_along_axis(idx0_full, indices1, axis=1)
+        mscores1 = jnp.where(
+            mutual1,
+            jnp.take_along_axis(mscores0, indices1, axis=1),
+            zero,
+        )
+        valid1 = mutual1 & jnp.take_along_axis(valid0, indices1, axis=1)
+        matches1 = jnp.where(
+            valid1, indices1, jnp.full((), -1, jnp.int32)
+        )
+        del max1  # kept for clarity of the reduction; not in the result
+        return MatchResult(matches0, matches1, mscores0, mscores1)
+
+    if match_threshold is None:
+        body = fwd
+        out_specs = (P("data", "seq", None), P("data"))
+    else:
+        from pram_tpu.ops.matching import MatchResult
+
+        body = fwd_match
+        out_specs = MatchResult(
+            P("data"), P("data"), P("data"), P("data")
+        )
+
     return jax.shard_map(
-        fwd,
+        body,
         mesh=mesh,
         in_specs=(
             P(),  # parameters replicated
@@ -887,7 +964,7 @@ def make_sp_gml_fn(mesh: Mesh, config):
             P("data"),  # full row mask on every seq shard
             P("data"),  # full column mask on every seq shard
         ),
-        out_specs=(P("data", "seq", None), P("data")),
+        out_specs=out_specs,
         check_vma=False,
     )
 

@@ -501,3 +501,51 @@ def test_pipeline_parallel_matches_replicated(rng):
     assert hlo.count(" collective-permute(") == n_micro + 4 - 1, hlo[:2000]
     assert hlo.count(" all-reduce(") == 1
     assert " all-gather(" not in hlo
+
+
+def test_sp_gml_distributed_match_readout(rng):
+    """The distributed mutual-max readout (match_threshold set) equals
+    extract_matches of the replicated plan — the [N0, M] plan never
+    leaves its row shards."""
+    from jax.sharding import Mesh
+
+    from pram_tpu.models.gml import GML, GMLConfig, extract_matches
+    from pram_tpu.parallel.tp import make_sp_gml_fn
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, axis_names=("data", "seq"))
+    cfg = GMLConfig(
+        descriptor_dim=32, hidden_dim=64, num_heads=2, n_layers=2,
+        sinkhorn_iterations=8,
+    )
+    model = GML(cfg)
+    b, n0, n1 = 2, 64, 48
+    d0 = jnp.asarray(rng.randn(b, n0, 32).astype(np.float32))
+    d1 = jnp.asarray(rng.randn(b, n1, 32).astype(np.float32))
+    k0 = jnp.asarray((rng.rand(b, n0, 2) * 2 - 1).astype(np.float32))
+    k1 = jnp.asarray((rng.rand(b, n1, 2) * 2 - 1).astype(np.float32))
+    m0 = jnp.asarray(rng.rand(b, n0) > 0.15)
+    m1 = jnp.asarray(rng.rand(b, n1) > 0.15)
+    variables = model.init(jax.random.PRNGKey(0), d0, d1, k0, k1, m0, m1)
+
+    plan = jax.jit(
+        lambda v: model.apply(v, d0, d1, k0, k1, m0, m1)["plan"]
+    )(variables)
+    ref = extract_matches(plan, threshold=0.1)
+
+    fn = jax.jit(make_sp_gml_fn(mesh, cfg, match_threshold=0.1))
+    got = fn(variables, d0, d1, k0, k1, m0, m1)
+    np.testing.assert_array_equal(
+        np.asarray(got.matches0), np.asarray(ref.matches0)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.matches1), np.asarray(ref.matches1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores0), np.asarray(ref.scores0),
+        rtol=5e-5, atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores1), np.asarray(ref.scores1),
+        rtol=5e-5, atol=5e-5,
+    )
