@@ -82,14 +82,22 @@ def main():
         # or crash with no output, emit the last successful ON-CHIP result
         # explicitly labeled stale — a flagged carry-over is honest; a
         # missing line is indistinguishable from a broken bench
-        if os.path.exists(lastgood_path):
+        stale = None
+        try:
             with open(lastgood_path) as f:
                 stale = json.load(f)
+        except (OSError, ValueError):
+            pass  # missing or truncated cache: fall through to the exit
+        if stale is not None:
             stale["chip_unavailable"] = True
             stale["stale"] = (
                 "relay outage at bench time; values carried verbatim from "
                 "the last successful on-chip run of this bench"
             )
+            # the cached run may have used different flags than this
+            # invocation — record both so A/B comparisons can't mistake a
+            # replay for a measurement
+            stale["requested_env_flags"] = _bench_env_flags()
             print(json.dumps(stale))
             return
         raise SystemExit(
@@ -428,12 +436,27 @@ def main():
     else:
         out["recall_5cm5deg_image"] = None
 
+    out["env_flags"] = _bench_env_flags()
     print(json.dumps(out))
     try:
-        with open(lastgood_path, "w") as f:
+        tmp = lastgood_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(out, f)
+        os.replace(tmp, lastgood_path)  # atomic: no truncated cache
     except OSError:
         pass
+
+
+def _bench_env_flags():
+    """The env knobs that change what this bench measures."""
+    return {
+        k: os.environ.get(k, "")
+        for k in (
+            "BENCH_INT8", "BENCH_BATCH", "PRAM_INT8_MLP",
+            "PRAM_INT8_PROJ", "PRAM_INT8_CONV", "PRAM_ATTN_BWD",
+        )
+        if os.environ.get(k)
+    }
 
 
 if __name__ == "__main__":

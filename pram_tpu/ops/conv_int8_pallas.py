@@ -46,7 +46,7 @@ _INTERPRET = False
 
 
 def _conv_kernel(
-    x_hbm, inv_ref, w_ref, ws_ref, b_ref, o_ref,
+    x_hbm, sa_ref, w_ref, ws_ref, b_ref, o_ref,
     xt, xq, xs1, xs2, x1, sem,
     *, th, w, cin, relu,
 ):
@@ -68,10 +68,10 @@ def _conv_kernel(
     cp.start()
     cp.wait()
 
-    # static per-tensor quantization of the whole tile, once (activations
-    # are post-ReLU non-negative, but round+clip matches the XLA path for
-    # any sign)
-    xf = xt[:, :, :].astype(jnp.float32) * inv_ref[0, 0]
+    # static per-tensor quantization of the whole tile, once — DIVIDE by
+    # the scale (not multiply by a precomputed reciprocal) so boundary
+    # values round bit-identically to models/sfd2_int8.py:_qlayer
+    xf = xt[:, :, :].astype(jnp.float32) / sa_ref[0, 0]
     xq[:, :, :] = jnp.clip(jnp.round(xf), -127, 127).astype(jnp.int8)
     xs1[:, :, :] = xq[:, 1 : w + 1, :]
     xs2[:, :, :] = xq[:, 2 : w + 2, :]
@@ -150,7 +150,7 @@ def conv3x3_int8(
     sin = jnp.asarray(in_scale, jnp.float32)
     ws = (sin * w_scale.astype(jnp.float32))[None, :]
     bm = bias.astype(jnp.float32)[None, :]
-    inv = (1.0 / sin).reshape(1, 1)
+    sa2d = sin.reshape(1, 1)  # the scale itself; the kernel divides
 
     # 1 halo row on top, enough bottom rows that the last tile's th+8 fetch
     # stays in bounds; 1 halo col each side, right-padded to 8-mult sublanes
@@ -187,4 +187,4 @@ def conv3x3_int8(
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(xp, inv, w2d, ws, bm)
+    )(xp, sa2d, w2d, ws, bm)

@@ -48,6 +48,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pram_tpu.models.segnetvit import SegNetViTConfig
 
 
+def _rot_half(t):
+    """Interleaved-pair rotation (models/common.py:rotate_half)."""
+    tp = t.reshape(*t.shape[:-1], -1, 2)
+    return jnp.stack([-tp[..., 1], tp[..., 0]], axis=-1).reshape(t.shape)
+
+
+
 def _spec_for(path: str) -> P:
     """PartitionSpec for one SegNetViT parameter, by flax path."""
     if "/qkv/" in path or "/seg_0/" in path:
@@ -114,12 +121,6 @@ def make_tp_segnetvit_fn(mesh: Mesh, config: SegNetViTConfig, variables):
         cos = jnp.repeat(jnp.cos(proj), 2, axis=-1)[:, None]  # [B,1,N,hd]
         sin = jnp.repeat(jnp.sin(proj), 2, axis=-1)[:, None]
 
-        def rot_half(t):
-            tp = t.reshape(*t.shape[:-1], -1, 2)
-            return jnp.stack([-tp[..., 1], tp[..., 0]], axis=-1).reshape(
-                t.shape
-            )
-
         x = descs @ p["input_proj"]["kernel"] + p["input_proj"]["bias"]
 
         for i in range(cfg.n_layers):
@@ -129,8 +130,8 @@ def make_tp_segnetvit_fn(mesh: Mesh, config: SegNetViTConfig, variables):
                 qkv.reshape(b, n, h_loc, hd, 3), 2, 1
             )  # [B, h_loc, N, hd, 3]
             q, k, vv = qkv[..., 0], qkv[..., 1], qkv[..., 2]
-            q = q * cos + rot_half(q) * sin
-            k = k * cos + rot_half(k) * sin
+            q = q * cos + _rot_half(q) * sin
+            k = k * cos + _rot_half(k) * sin
             logits = (
                 jnp.einsum(
                     "bhid,bhjd->bhij", q, k,
@@ -237,12 +238,6 @@ def make_sp_segnetvit_fn(mesh: Mesh, config: SegNetViTConfig):
         cos = jnp.repeat(jnp.cos(proj), 2, axis=-1)[:, None]
         sin = jnp.repeat(jnp.sin(proj), 2, axis=-1)[:, None]
 
-        def rot_half(t):
-            tp = t.reshape(*t.shape[:-1], -1, 2)
-            return jnp.stack([-tp[..., 1], tp[..., 0]], axis=-1).reshape(
-                t.shape
-            )
-
         x = descs @ p["input_proj"]["kernel"] + p["input_proj"]["bias"]
 
         for i in range(cfg.n_layers):
@@ -250,8 +245,8 @@ def make_sp_segnetvit_fn(mesh: Mesh, config: SegNetViTConfig):
             qkv = x @ g["qkv"]["kernel"] + g["qkv"]["bias"]
             qkv = jnp.moveaxis(qkv.reshape(b, n_loc, h, hd, 3), 2, 1)
             q, k, vv = qkv[..., 0], qkv[..., 1], qkv[..., 2]
-            q = q * cos + rot_half(q) * sin
-            k = k * cos + rot_half(k) * sin  # rotary BEFORE the gather
+            q = q * cos + _rot_half(q) * sin
+            k = k * cos + _rot_half(k) * sin  # rotary BEFORE the gather
             kv = jnp.concatenate([k, vv], axis=-1)  # one gather, not two
             kv_full = jax.lax.all_gather(
                 kv, "seq", axis=2, tiled=True
@@ -356,12 +351,6 @@ def make_tp_sp_segnetvit_fn(mesh: Mesh, config: SegNetViTConfig, variables):
         cos = jnp.repeat(jnp.cos(proj), 2, axis=-1)[:, None]
         sin = jnp.repeat(jnp.sin(proj), 2, axis=-1)[:, None]
 
-        def rot_half(t):
-            tp = t.reshape(*t.shape[:-1], -1, 2)
-            return jnp.stack([-tp[..., 1], tp[..., 0]], axis=-1).reshape(
-                t.shape
-            )
-
         x = descs @ p["input_proj"]["kernel"] + p["input_proj"]["bias"]
 
         for i in range(cfg.n_layers):
@@ -369,8 +358,8 @@ def make_tp_sp_segnetvit_fn(mesh: Mesh, config: SegNetViTConfig, variables):
             qkv = x @ g["qkv"]["kernel"] + g["qkv"]["bias"]  # local heads
             qkv = jnp.moveaxis(qkv.reshape(b, n_loc, h_loc, hd, 3), 2, 1)
             q, k, vv = qkv[..., 0], qkv[..., 1], qkv[..., 2]
-            q = q * cos + rot_half(q) * sin
-            k = k * cos + rot_half(k) * sin  # rotary BEFORE the gather
+            q = q * cos + _rot_half(q) * sin
+            k = k * cos + _rot_half(k) * sin  # rotary BEFORE the gather
             kv = jnp.concatenate([k, vv], axis=-1)
             kv_full = jax.lax.all_gather(
                 kv, "seq", axis=2, tiled=True
@@ -443,15 +432,11 @@ def _segnetvit_layer_math(g, x, cos, sin, mask, *, heads, eps=1e-6):
     hd = hidden // heads
     scale = hd**-0.5
 
-    def rot_half(t):
-        tp = t.reshape(*t.shape[:-1], -1, 2)
-        return jnp.stack([-tp[..., 1], tp[..., 0]], axis=-1).reshape(t.shape)
-
     qkv = x @ g["qkv"]["kernel"] + g["qkv"]["bias"]
     qkv = jnp.moveaxis(qkv.reshape(b, n, heads, hd, 3), 2, 1)
     q, k, vv = qkv[..., 0], qkv[..., 1], qkv[..., 2]
-    q = q * cos + rot_half(q) * sin
-    k = k * cos + rot_half(k) * sin
+    q = q * cos + _rot_half(q) * sin
+    k = k * cos + _rot_half(k) * sin
     logits = (
         jnp.einsum(
             "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
@@ -665,10 +650,6 @@ def make_sp_gml_fn(mesh: Mesh, config, match_threshold=None):
     eps_sk = 1e-8  # ops/sinkhorn.py:_EPS
     d_out = cfg.hidden_dim
 
-    def rot_half(t):
-        tp = t.reshape(*t.shape[:-1], -1, 2)
-        return jnp.stack([-tp[..., 1], tp[..., 0]], axis=-1).reshape(t.shape)
-
     def layer_norm(y, scale_p, bias_p):
         mu = jnp.mean(y, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - mu * mu
@@ -737,8 +718,8 @@ def make_sp_gml_fn(mesh: Mesh, config, match_threshold=None):
                 qkv = x @ g["qkv"]["kernel"] + g["qkv"]["bias"]
                 qkv = jnp.moveaxis(qkv.reshape(b, n_loc, h, hd, 3), 2, 1)
                 q, k, vv = qkv[..., 0], qkv[..., 1], qkv[..., 2]
-                q = q * cos + rot_half(q) * sin
-                k = k * cos + rot_half(k) * sin
+                q = q * cos + _rot_half(q) * sin
+                k = k * cos + _rot_half(k) * sin
                 return q, jnp.concatenate([k, vv], axis=-1)
 
             q0, kv0 = qkv_side(x0, cos0, sin0, n0_loc)

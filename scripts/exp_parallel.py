@@ -35,7 +35,6 @@ from pram_tpu.parallel.tp import (
     make_tp_sp_segnetvit_fn,
     place_segnetvit_tp,
     segnetvit_tp_specs,
-    sp_gml_plan,
     stack_segnetvit_layers,
 )
 
@@ -72,25 +71,31 @@ def main():
     v = model.init(jax.random.PRNGKey(0), d, k, m)
     ref = jax.jit(lambda v: model.apply(v, d, k, m)["prediction"])(v)
 
+    def run(fn, *args):
+        """Compile once; execute and count collectives on the SAME
+        executable."""
+        compiled = fn.lower(*args).compile()
+        return compiled(*args), compiled.as_text()
+
     # dp: batch sharded, no collectives in the forward
     mesh_dp = Mesh(devs, axis_names=("data",))
     db = jax.device_put(d, NamedSharding(mesh_dp, P("data")))
     fn = jax.jit(lambda v, d_, k_, m_: model.apply(v, d_, k_, m_)["prediction"])
-    report("dp (batch-sharded)", fn(v, db, k, m), ref,
-           fn.lower(v, db, k, m).compile().as_text())
+    got, hlo = run(fn, v, db, k, m)
+    report("dp (batch-sharded)", got, ref, hlo)
 
     # tp: heads + seg head over 'model'
     mesh_tp = Mesh(devs.reshape(2, 4), axis_names=("data", "model"))
     placed = place_segnetvit_tp(mesh_tp, v)
     ftp = jax.jit(make_tp_segnetvit_fn(mesh_tp, cfg, v))
-    report("tp (head/seg-sharded)", ftp(placed, d, k, m), ref,
-           ftp.lower(placed, d, k, m).compile().as_text(), tol=2e-4)
+    got, hlo = run(ftp, placed, d, k, m)
+    report("tp (head/seg-sharded)", got, ref, hlo, tol=2e-4)
 
     # sp: tokens over 'seq'
     mesh_sp = Mesh(devs.reshape(2, 4), axis_names=("data", "seq"))
     fsp = jax.jit(make_sp_segnetvit_fn(mesh_sp, cfg))
-    report("sp (token-sharded)", fsp(v, d, k, m), ref,
-           fsp.lower(v, d, k, m).compile().as_text(), tol=2e-4)
+    got, hlo = run(fsp, v, d, k, m)
+    report("sp (token-sharded)", got, ref, hlo, tol=2e-4)
 
     # tp x sp composed on a 3-axis mesh
     mesh3 = Mesh(devs.reshape(2, 2, 2), axis_names=("data", "seq", "model"))
@@ -99,16 +104,16 @@ def main():
         lambda x, s: jax.device_put(x, NamedSharding(mesh3, s)), v, sp3
     )
     f3 = jax.jit(make_tp_sp_segnetvit_fn(mesh3, cfg, v))
-    report("tp x sp (3-axis)", f3(placed3, d, k, m), ref,
-           f3.lower(placed3, d, k, m).compile().as_text(), tol=2e-4)
+    got, hlo = run(f3, placed3, d, k, m)
+    report("tp x sp (3-axis)", got, ref, hlo, tol=2e-4)
 
     # pp: GPipe stages over 'pipe'
     mesh_pp = Mesh(devs.reshape(2, 4)[:, :2].reshape(2, 2),
                    axis_names=("data", "pipe"))
     stacked, io = stack_segnetvit_layers(v, cfg.n_layers)
     fpp = jax.jit(make_pp_segnetvit_fn(mesh_pp, cfg, 2))
-    report("pp (GPipe 2 stages)", fpp(stacked, io, d, k, m), ref,
-           fpp.lower(stacked, io, d, k, m).compile().as_text(), tol=2e-4)
+    got, hlo = run(fpp, stacked, io, d, k, m)
+    report("pp (GPipe 2 stages)", got, ref, hlo, tol=2e-4)
 
     # sp for the matcher (GML + row-sharded Sinkhorn)
     gcfg = GMLConfig(descriptor_dim=32, hidden_dim=64, num_heads=2,
@@ -121,11 +126,11 @@ def main():
     gk1 = jnp.asarray((rng.rand(2, n1, 2) * 2 - 1).astype(np.float32))
     gv = gm.init(jax.random.PRNGKey(1), g0, g1, gk0, gk1)
     gref = jax.jit(lambda v: gm.apply(v, g0, g1, gk0, gk1)["plan"])(gv)
-    got = sp_gml_plan(mesh_sp, gcfg, gv, g0, g1, gk0, gk1)
     fgm = jax.jit(make_sp_gml_fn(mesh_sp, gcfg))
     m0 = jnp.ones((2, n0), bool)
     m1 = jnp.ones((2, n1), bool)
-    hlo = fgm.lower(gv, g0, g1, gk0, gk1, m0, m1).compile().as_text()
+    (rows, dust), hlo = run(fgm, gv, g0, g1, gk0, gk1, m0, m1)
+    got = jnp.concatenate([rows, dust[:, None, :]], axis=1)
     report("sp matcher (GML+Sinkhorn)", got, gref, hlo, tol=5e-5)
 
     print("ALL PARALLEL MODES OK")
