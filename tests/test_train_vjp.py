@@ -334,3 +334,45 @@ def test_cross_attention_bwd_kernel_matches_autodiff(rng, monkeypatch):
             np.asarray(a), np.asarray(bg), rtol=2e-4, atol=2e-4,
             err_msg=name,
         )
+
+
+def test_attention_bwd_kernel_bf16(rng, monkeypatch):
+    """The backward kernel in bf16 (the on-chip training dtype) stays
+    within mixed-precision tolerance of f32 autodiff."""
+    from pram_tpu.ops import attention_bwd_pallas as abp
+
+    monkeypatch.setenv("PRAM_ATTN_BWD", "1")
+    monkeypatch.setattr(abp, "_INTERPRET", True)
+
+    b, n, heads, hd = 2, 64, 4, 32
+    d = heads * hd
+    splits = (n,)
+    x32 = rng.randn(b, n, d).astype(np.float32)
+    wp32 = rng.randn(d, 3 * d).astype(np.float32) * 0.1
+    bp32 = rng.randn(3 * d).astype(np.float32) * 0.1
+    cos32 = rng.rand(b, n, hd).astype(np.float32)
+    sin32 = rng.rand(b, n, hd).astype(np.float32)
+    bias = jnp.zeros((b, n), jnp.float32)
+    scale = hd**-0.5
+    ct32 = rng.randn(b, n, d).astype(np.float32)
+
+    def loss(xx, ww, dtype):
+        out = self_attention_proj(
+            jnp.asarray(xx, dtype), jnp.asarray(ww, dtype),
+            jnp.asarray(bp32, dtype), jnp.asarray(cos32, dtype),
+            jnp.asarray(sin32, dtype), bias, scale, heads, splits, True,
+        )
+        return jnp.sum(out.astype(jnp.float32) * ct32)
+
+    gx_bf, gw_bf = jax.grad(
+        lambda xx, ww: loss(xx, ww, jnp.bfloat16), argnums=(0, 1)
+    )(x32, wp32)
+    monkeypatch.setenv("PRAM_ATTN_BWD", "0")
+    gx_f, gw_f = jax.grad(
+        lambda xx, ww: loss(xx, ww, jnp.float32), argnums=(0, 1)
+    )(x32, wp32)
+    # bf16 operands: expect ~1e-2 relative agreement, not exactness
+    denom = np.abs(np.asarray(gx_f)).max() + 1e-6
+    assert np.abs(np.asarray(gx_bf) - np.asarray(gx_f)).max() / denom < 3e-2
+    denom = np.abs(np.asarray(gw_f)).max() + 1e-6
+    assert np.abs(np.asarray(gw_bf) - np.asarray(gw_f)).max() / denom < 3e-2
