@@ -66,15 +66,18 @@ def int8_conv_enabled() -> bool:
 
 
 def _use_conv_kernel(x, cout, strides) -> bool:
-    if strides != (1, 1) or not int8_conv_enabled():
+    if strides not in ((1, 1), (2, 2)) or not int8_conv_enabled():
         return False
     from pram_tpu.ops import conv_int8_pallas as cip
 
     if jax.default_backend() != "tpu" and not cip._INTERPRET:
         return False
-    return cip.conv3x3_int8_supported(
-        x.shape[1], x.shape[2], x.shape[3], cout
+    gate = (
+        cip.conv3x3_int8_supported
+        if strides == (1, 1)
+        else cip.conv3x3s2_int8_supported
     )
+    return gate(x.shape[1], x.shape[2], x.shape[3], cout)
 
 
 def _conv_i8(xq, wq, strides=(1, 1)):
@@ -158,9 +161,13 @@ class Int8ResNet4x:
         dequantize + bias + ReLU (BN already folded into wq/bias)."""
         sa = qp[f"{name}_in_scale"]
         if _use_conv_kernel(x, qp[f"{name}_wq"].shape[-1], strides):
-            from pram_tpu.ops.conv_int8_pallas import conv3x3_int8
+            from pram_tpu.ops.conv_int8_pallas import (
+                conv3x3_int8,
+                conv3x3s2_int8,
+            )
 
-            return conv3x3_int8(
+            kernel = conv3x3_int8 if strides == (1, 1) else conv3x3s2_int8
+            return kernel(
                 x, qp[f"{name}_wq"], sa, qp[f"{name}_wscale"],
                 qp[f"{name}_bias"], relu=True,
             )
