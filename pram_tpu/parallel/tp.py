@@ -555,22 +555,35 @@ def make_pp_segnetvit_fn(
             h = run_stage(h, cos, sin, m)
             carry = h
 
-            # head on the last stage, when its microbatch index is valid
-            y = h @ io["seg_0"]["kernel"] + io["seg_0"]["bias"]
-            mu = jnp.mean(y, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - mu * mu
-            y = (y - mu) * jax.lax.rsqrt(var + eps)
-            y = y * io["seg_ln"]["scale"] + io["seg_ln"]["bias"]
-            y = jax.nn.gelu(y, approximate=False)
-            logits = y @ io["seg_3"]["kernel"] + io["seg_3"]["bias"]
+            # head only on the last stage, only on valid schedule steps
+            # (bubble steps skip the head compute entirely via lax.cond)
             valid = (s == psize - 1) & (my_t >= 0) & (my_t < n_micro)
-            pad = jnp.zeros((b - mb, n, cfg.n_class), jnp.float32)
-            placed = jnp.concatenate(
-                [logits.astype(jnp.float32), pad], axis=0
+
+            def head(h):
+                y = h @ io["seg_0"]["kernel"] + io["seg_0"]["bias"]
+                mu = jnp.mean(y, axis=-1, keepdims=True)
+                var = (
+                    jnp.mean(jnp.square(y), axis=-1, keepdims=True)
+                    - mu * mu
+                )
+                y = (y - mu) * jax.lax.rsqrt(var + eps)
+                y = y * io["seg_ln"]["scale"] + io["seg_ln"]["bias"]
+                y = jax.nn.gelu(y, approximate=False)
+                return (
+                    y @ io["seg_3"]["kernel"] + io["seg_3"]["bias"]
+                ).astype(jnp.float32)
+
+            logits = jax.lax.cond(
+                valid,
+                head,
+                lambda h: jnp.zeros((mb, n, cfg.n_class), jnp.float32),
+                h,
             )
+            pad = jnp.zeros((b - mb, n, cfg.n_class), jnp.float32)
+            placed = jnp.concatenate([logits, pad], axis=0)
             shift = jnp.clip(my_t, 0, n_micro - 1) * mb
             placed = jnp.roll(placed, shift, axis=0)
-            out_sum = out_sum + jnp.where(valid, 1.0, 0.0) * placed
+            out_sum = out_sum + placed
 
         # replicate the last stage's assembled logits everywhere
         out = jax.lax.psum(out_sum, "pipe")
