@@ -10,6 +10,7 @@ forward, with the batch simultaneously sharded over 'data'.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pram_tpu.models.segnetvit import SegNetViT, SegNetViTConfig
 from pram_tpu.parallel.mesh import (
@@ -458,10 +459,12 @@ def test_tp_sp_composed_matches_replicated(rng):
     assert hlo.count(" all-reduce(") <= cfg.n_layers + 2
 
 
-def test_pipeline_parallel_matches_replicated(rng):
+@pytest.mark.parametrize("psize", [4, 2])
+def test_pipeline_parallel_matches_replicated(rng, psize):
     """PP (parallel/tp.py:make_pp_segnetvit_fn): layer stack split into
-    'pipe' stages, GPipe microbatch schedule, equal to the replicated
-    forward; one ppermute per schedule step + one final psum."""
+    'pipe' stages (1 and 2 layers per stage), GPipe microbatch schedule,
+    equal to the replicated forward; one ppermute per schedule step +
+    one final psum."""
     from jax.sharding import Mesh
 
     from pram_tpu.parallel.tp import (
@@ -469,7 +472,7 @@ def test_pipeline_parallel_matches_replicated(rng):
         stack_segnetvit_layers,
     )
 
-    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    devs = np.asarray(jax.devices()[: 2 * psize]).reshape(2, psize)
     mesh = Mesh(devs, axis_names=("data", "pipe"))
     cfg = SegNetViTConfig(
         descriptor_dim=64, hidden_dim=64, output_dim=128, n_class=17,
@@ -498,7 +501,9 @@ def test_pipeline_parallel_matches_replicated(rng):
     # collective accounting: n_micro + psize - 1 collective-permutes,
     # one all-reduce, no all-gathers
     hlo = fn.lower(stacked, io, descs, nk, mask).compile().as_text()
-    assert hlo.count(" collective-permute(") == n_micro + 4 - 1, hlo[:2000]
+    assert hlo.count(" collective-permute(") == n_micro + psize - 1, (
+        hlo[:2000]
+    )
     assert hlo.count(" all-reduce(") == 1
     assert " all-gather(" not in hlo
 
