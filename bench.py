@@ -35,6 +35,17 @@ Prints ONE JSON line:
 - value_adaptive: the two-phase adaptive API (phase-2 behind an on-device
   lax.cond) on the all-success workload — must stay within ~10% of the
   plain step (VERDICT r2 #6).
+- mfu / tflops / flops_per_frame_g / s8_flop_fraction: issued-FLOP
+  accounting of the compiled pipeline (XLA cost_analysis) against the
+  composite v5e speed-of-light — bf16 ops at 197 TFLOP/s, s8 ops at 394
+  TOPS (pram_tpu/utils/flops.py).
+- Relay-outage behavior: if the chip probe fails for BENCH_CHIP_WAIT_S
+  (default 540 s — deliberately far under any driver kill budget), ONE
+  parseable JSON line is still printed with value=null,
+  chip_unavailable=true and the last successful on-chip line under
+  "last_good" (never as the headline fields — a replay must not be
+  mistakable for a measurement). BENCH_SIM_OUTAGE=1 forces this path
+  (tested by tests/test_bench_outage.py).
 
 vs_baseline divides by 250 frames/sec/chip: BASELINE.json's north star is
 ">=2000 query frames/sec on v5e-8" — a POD target, i.e. 250/chip x 8-chip
@@ -75,34 +86,43 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "weights",
         "last_bench.json",
     )
-    if not wait_for_chip(
-        max_wait_s=int(os.environ.get("BENCH_CHIP_WAIT_S", 1800))
+    # Default wait 540 s: MUST stay well under any plausible driver budget.
+    # Round 4's lesson: the driver killed the bench at ~29 min while the
+    # bench was still inside its own 30-min wait, so the outage fallback
+    # below never fired and the round recorded NOTHING (BENCH_r04 rc:124).
+    # A short wait + an always-emitted parseable line beats a long wait.
+    sim_outage = os.environ.get("BENCH_SIM_OUTAGE") == "1"
+    if sim_outage or not wait_for_chip(
+        max_wait_s=int(os.environ.get("BENCH_CHIP_WAIT_S", 540))
     ):
         # relay outages of 5h+ observed (ROUND_NOTES r4): rather than hang
-        # or crash with no output, emit the last successful ON-CHIP result
-        # explicitly labeled stale — a flagged carry-over is honest; a
-        # missing line is indistinguishable from a broken bench
-        stale = None
+        # or crash with no output, emit a parseable line that carries the
+        # last successful ON-CHIP result under "last_good". The headline
+        # fields are NULLED so a field-unaware consumer can never mistake
+        # a replay for a fresh measurement (ADVICE r4).
+        last_good = None
         try:
             with open(lastgood_path) as f:
-                stale = json.load(f)
+                last_good = json.load(f)
         except (OSError, ValueError):
-            pass  # missing or truncated cache: fall through to the exit
-        if stale is not None:
-            stale["chip_unavailable"] = True
-            stale["stale"] = (
-                "relay outage at bench time; values carried verbatim from "
-                "the last successful on-chip run of this bench"
-            )
-            # the cached run may have used different flags than this
-            # invocation — record both so A/B comparisons can't mistake a
-            # replay for a measurement
-            stale["requested_env_flags"] = _bench_env_flags()
-            print(json.dumps(stale))
-            return
-        raise SystemExit(
-            "chip relay down and no last-good bench result recorded"
-        )
+            pass  # missing or truncated cache: emit the line without it
+        line = {
+            "metric": "7scenes_relocalization_throughput",
+            "value": None,
+            "unit": "frames/sec",
+            "vs_baseline": None,
+            "runs": None,
+            "chip_unavailable": True,
+            "stale": (
+                "relay outage at bench time; no measurement this run — "
+                "last_good holds the most recent successful on-chip line "
+                "of this bench verbatim (its own env_flags inside)"
+            ),
+            "requested_env_flags": _bench_env_flags(),
+            "last_good": last_good,
+        }
+        print(json.dumps(line), flush=True)
+        return
 
     import jax
 
@@ -215,14 +235,28 @@ def main():
     # exp_int8.py's float-vs-int8 A/B. BENCH_INT8=0 measures the bf16 path.
     use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
     if use_int8:
+        from pram_tpu.maps.rendered import make_world, query_pose
+        from pram_tpu.models.sfd2 import preprocess_image
         from pram_tpu.models.sfd2_int8 import cast_stem, quantize_extractor
 
-        calib = jnp.asarray(
-            np.random.RandomState(42)
-            .rand(4, height, width, 3)
-            .astype(np.float32)
+        # calibrate on rendered-world frames — the SAME calibration the
+        # image guard certifies (ADVICE r4: the timed int8 configuration
+        # must match the recall-certified one, not random noise)
+        world = make_world(np.random.RandomState(0))
+        crng = np.random.RandomState(99)
+        calib = np.stack(
+            [
+                world.render(
+                    *query_pose(crng),
+                    (500.0, 500.0, width / 2, height / 2),
+                    width, height,
+                )
+                for _ in range(4)
+            ]
+        ).astype(np.float32)
+        sfd2, sfd2_vars = quantize_extractor(
+            sfd2, sfd2_vars_f32, preprocess_image(jnp.asarray(calib))
         )
-        sfd2, sfd2_vars = quantize_extractor(sfd2, sfd2_vars_f32, calib)
         sfd2_vars = cast_stem(sfd2_vars, compute_dtype)
 
     # ---- stage 1+2: extraction + recognition (one jit)
@@ -291,6 +325,24 @@ def main():
         for _ in range(3)
     ]
     fps = float(np.median(runs))
+
+    # ---- MFU (VERDICT r4 #3): issued flops of the ACTUAL compiled
+    # pipeline from XLA cost analysis, split into s8/bf16 fractions via
+    # the analytic extractor conv table; mfu = fraction of the composite
+    # speed-of-light (pram_tpu/utils/flops.py)
+    from pram_tpu.utils.flops import (
+        compiled_flops,
+        extractor_issued_flops,
+        mfu_fields,
+    )
+
+    flops_batch = compiled_flops(pipeline, key, images)
+    s8_pf = (
+        extractor_issued_flops(height, width)[1] if use_int8 else 0.0
+    )
+    mfu_out = mfu_fields(
+        flops_batch / batch if flops_batch else None, fps, s8_pf
+    )
 
     # ---- recall guard through the SAME GML path: rendered queries with
     # known gt poses; matcher = the fitted GML through the fused kernels
@@ -412,6 +464,7 @@ def main():
         "value_full_sweep": fps_k10,
         "value_adaptive": fps_adaptive,
         "value_loc_only_k1": fps_k1_loc,
+        **mfu_out,
     }
 
     # ---- image-level guard (VERDICT r3 #1/#7): rendered query IMAGES

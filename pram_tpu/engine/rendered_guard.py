@@ -169,7 +169,12 @@ class RenderedGuard:
                 np.asarray(kps.mask),
             )
 
-        self.cache_dir = os.path.join(REPO, ".bench_cache")
+        # render cache SHIPS in-tree (weights/bench_cache/) so driver/judge
+        # bench runs skip the ~2.5 min numpy re-render; it is deterministic
+        # in the seed and regenerates here if absent. Kept out of .gitignore
+        # on purpose: a refreshed cache must show up as a tracked change
+        # (ADVICE r4: ignore entry and tree must agree).
+        self.cache_dir = os.path.join(REPO, "weights", "bench_cache")
         self.scene = build_rendered_scene(
             extract_np, np.random.RandomState(0),
             width=WIDTH, height=HEIGHT, n_ref=12, kp_per_ref=1024,

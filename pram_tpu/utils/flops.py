@@ -1,0 +1,136 @@
+"""FLOP accounting + MFU for the bench entry points (VERDICT r4 #3).
+
+Two sources, combined into one yardstick:
+
+- ``compiled_flops``: the ISSUED flop count of the actual compiled XLA
+  program (``compile().cost_analysis()['flops']``) — covers every stage
+  the bench times (extraction, recognition, matching, Sinkhorn, PnP,
+  refinement) with no hand-kept table to rot.
+- ``extractor_issued_flops``: an analytic per-conv table of the SFD2
+  extractor (the only mixed-precision stage), used to split the issued
+  total into the s8 and bf16 fractions when the int8 extractor is active.
+
+MFU here is the speed-of-light fraction of the composite program:
+
+    t_sol(frame) = F_bf16 / PEAK_BF16 + F_s8 / PEAK_S8
+    mfu          = t_sol * fps_measured
+
+i.e. 1.0 would mean the chip spends every cycle running MXU ops of each
+stage at that stage's peak rate. PEAKs are v5e: ~197 TFLOP/s bf16 and
+~394 TOPS int8 (the MXU runs s8 x s8 -> s32 at 2x the bf16 rate).
+
+"Issued" counts the flops the compiled program executes — e.g. the
+res-block grouped 3x3 runs as dense block-diagonal splits (measured
+faster, models/sfd2.py:189-214), so its issued flops are 2x its useful
+grouped flops; MFU measures hardware utilization, not algorithmic
+efficiency, so issued is the correct basis (and matches cost_analysis).
+
+Reference surface being instrumented: the reference reports wall-clock
+stage timings only (localization/loc_by_rec_eval.py:259-268); MFU is the
+TPU-native extension of that table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+V5E_BF16_PEAK = 197e12  # FLOP/s
+V5E_S8_PEAK = 394e12  # OP/s (2x bf16 on the MXU)
+
+
+def compiled_flops(jitted, *args) -> Optional[float]:
+    """Issued flops of the compiled program for ``jitted(*args)``.
+
+    Returns None when the backend's cost analysis is unavailable (some
+    PJRT plugins do not implement it) — callers then skip the MFU fields
+    rather than report a made-up number.
+    """
+    try:
+        lowered = jitted.lower(*args)
+    except Exception:
+        return None
+    for get in (
+        lambda: lowered.cost_analysis(),  # client-side, no compile needed
+        lambda: lowered.compile().cost_analysis(),
+    ):
+        try:
+            ca = get()
+            if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+                ca = ca[0]
+            f = ca.get("flops")
+            if f and f > 0:
+                return float(f)
+        except Exception:
+            continue
+    return None
+
+
+def _conv_flops(kh: int, kw: int, cin: int, cout: int, hout: int,
+                wout: int) -> float:
+    return 2.0 * kh * kw * cin * cout * hout * wout
+
+
+def extractor_issued_flops(
+    height: int, width: int, outdim: int = 128
+) -> Tuple[float, float]:
+    """(bf16_flops, s8_flops) per frame for the int8 SFD2 extractor.
+
+    Mirrors Int8ResNet4x.apply (models/sfd2_int8.py): the stem
+    (conv1a/conv1b) and the final 1x1 heads (convPb/convDb) stay bf16;
+    every other conv — including the res-block 1x1s and the grouped 3x3
+    issued as 2 dense [3,3,128,128] block-diagonal splits — runs s8.
+    For the bf16 extractor, callers use s8_flops = 0 and the sum.
+    """
+    h2, w2 = height // 2, width // 2  # after conv1b (s2)
+    h4, w4 = height // 4, width // 4  # after conv2b (s2)
+    h8, w8 = height // 8, width // 8  # after convPa_0 (s2)
+
+    bf16 = (
+        _conv_flops(3, 3, 3, 64, height, width)  # conv1a
+        + _conv_flops(3, 3, 64, 64, h2, w2)  # conv1b (s2)
+        + _conv_flops(1, 1, 256, 65, h8, w8)  # convPb
+        + _conv_flops(1, 1, 256, outdim, h4, w4)  # convDb
+    )
+    res_block = (
+        _conv_flops(1, 1, 256, 256, h4, w4)  # conv1 1x1
+        # grouped 3x3 g=32 issued as 2 dense block-diagonal 128->128 splits
+        + 2 * _conv_flops(3, 3, 128, 128, h4, w4)
+        + _conv_flops(1, 1, 256, 256, h4, w4)  # conv3 1x1
+    )
+    s8 = (
+        _conv_flops(3, 3, 64, 128, h2, w2)  # conv2a
+        + _conv_flops(3, 3, 128, 128, h4, w4)  # conv2b (s2)
+        + _conv_flops(3, 3, 128, 256, h4, w4)  # conv3a
+        + _conv_flops(3, 3, 256, 256, h4, w4)  # conv3b
+        + 3 * res_block  # res_0..2
+        + _conv_flops(3, 3, 256, 256, h8, w8)  # convPa_0 (s2)
+        + _conv_flops(3, 3, 256, 256, h8, w8)  # convPa_3
+        + _conv_flops(3, 3, 256, 256, h4, w4)  # convDa_0
+        + _conv_flops(3, 3, 256, 256, h4, w4)  # convDa_3
+    )
+    return bf16, s8
+
+
+def mfu_fields(
+    flops_per_frame: Optional[float],
+    fps: float,
+    s8_flops_per_frame: float = 0.0,
+) -> dict:
+    """The bench-JSON MFU block.
+
+    ``flops_per_frame``: issued flops of the whole pipeline (one frame).
+    ``s8_flops_per_frame``: the portion of it executed as s8 MXU ops
+    (0 for the pure-bf16 configuration). mfu is the fraction of the
+    composite speed-of-light (see module docstring).
+    """
+    if not flops_per_frame or flops_per_frame <= 0 or fps <= 0:
+        return {"mfu": None, "tflops": None}
+    s8 = min(max(s8_flops_per_frame, 0.0), flops_per_frame)
+    t_sol = (flops_per_frame - s8) / V5E_BF16_PEAK + s8 / V5E_S8_PEAK
+    return {
+        "flops_per_frame_g": round(flops_per_frame / 1e9, 2),
+        "s8_flop_fraction": round(s8 / flops_per_frame, 4),
+        "tflops": round(flops_per_frame * fps / 1e12, 2),
+        "mfu": round(t_sol * fps, 4),
+        "mfu_peaks": {"bf16": V5E_BF16_PEAK, "s8": V5E_S8_PEAK},
+    }

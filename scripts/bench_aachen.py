@@ -25,7 +25,9 @@ if _REPO not in sys.path:
 def main():
     from pram_tpu.utils.chip import wait_for_chip
 
-    wait_for_chip(max_wait_s=int(os.environ.get("BENCH_CHIP_WAIT_S", 1800)))
+    # 540 s default: stay far under any driver/battery kill budget so a
+    # relay outage yields a fast failure, not a silent rc:124 (VERDICT r4)
+    wait_for_chip(max_wait_s=int(os.environ.get("BENCH_CHIP_WAIT_S", 540)))
 
     import jax
 
@@ -77,14 +79,28 @@ def main():
     # this bench reuses it at the 1024x768 operating point.
     use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
     if use_int8:
+        from pram_tpu.maps.rendered import make_world, query_pose
+        from pram_tpu.models.sfd2 import preprocess_image
         from pram_tpu.models.sfd2_int8 import cast_stem, quantize_extractor
 
-        calib = jnp.asarray(
-            np.random.RandomState(42)
-            .rand(2, height, width, 3)
-            .astype(np.float32)
+        # rendered-world frames at THIS bench's resolution (ADVICE r4:
+        # calibrate the timed configuration the way the recall-certified
+        # one is calibrated, not on random noise)
+        world = make_world(np.random.RandomState(0))
+        crng = np.random.RandomState(99)
+        calib = np.stack(
+            [
+                world.render(
+                    *query_pose(crng),
+                    (500.0, 500.0, width / 2, height / 2),
+                    width, height,
+                )
+                for _ in range(2)
+            ]
+        ).astype(np.float32)
+        sfd2, sfd2_vars = quantize_extractor(
+            sfd2, sfd2_vars_f32, preprocess_image(jnp.asarray(calib))
         )
-        sfd2, sfd2_vars = quantize_extractor(sfd2, sfd2_vars_f32, calib)
         sfd2_vars = cast_stem(sfd2_vars, compute_dtype)
 
     rec = SegNetViT(SegNetViTConfig(n_class=n_cluster + 1))
@@ -188,6 +204,22 @@ def main():
         jax.block_until_ready(res.qvec)
         runs.append(round(batch * iters / (time.perf_counter() - t0), 2))
 
+    # MFU (VERDICT r4 #3): issued flops of the compiled pipeline (lowered
+    # cost analysis — no extra compile) against the composite v5e
+    # speed-of-light; nested jits inline under the one outer trace
+    from pram_tpu.utils.flops import (
+        compiled_flops,
+        extractor_issued_flops,
+        mfu_fields,
+    )
+
+    flops_batch = compiled_flops(jax.jit(pipeline), key, images)
+    s8_pf = extractor_issued_flops(height, width)[1] if use_int8 else 0.0
+    mfu_out = mfu_fields(
+        flops_batch / batch if flops_batch else None,
+        float(np.median(runs)), s8_pf,
+    )
+
     out = {
         "metric": "aachen_shape_relocalization_throughput",
         "value": float(np.median(runs)),
@@ -202,6 +234,7 @@ def main():
         "map": "row-sharded",
         "first_call_s": round(compile_s, 1),
         "backend": jax.default_backend(),
+        **mfu_out,
     }
     stats = jax.devices()[0].memory_stats() or {}
     if stats:

@@ -29,7 +29,9 @@ if REPO not in sys.path:
 def run_chip():
     from pram_tpu.utils.chip import wait_for_chip
 
-    wait_for_chip(max_wait_s=int(os.environ.get("BENCH_CHIP_WAIT_S", 1800)))
+    # 540 s default: stay far under any driver/battery kill budget so a
+    # relay outage yields a fast failure, not a silent rc:124 (VERDICT r4)
+    wait_for_chip(max_wait_s=int(os.environ.get("BENCH_CHIP_WAIT_S", 540)))
 
     import jax
 
