@@ -19,23 +19,36 @@ import time
 def chip_up(probe_timeout_s: int = 120) -> bool:
     """True if a device access completes in a fresh subprocess.
 
-    The probe must run with the repo cwd and WITHOUT PYTHONPATH (which
-    breaks axon PJRT plugin registration — see .claude/skills/verify).
+    The probe runs with the CALLER's env first — it must predict whether
+    the caller's own device access would succeed. Environments differ in
+    how the axon PJRT plugin registers: in one observed setup PYTHONPATH
+    broke registration (the probe had to strip it); in another the plugin
+    rides PYTHONPATH (/root/.axon_site via sitecustomize) and stripping it
+    makes every probe fail with "Backend 'axon' is not in the list of
+    known backends" while the chip is fine — a phantom outage that nulled
+    a whole bench round. So: try the unmodified env, then the stripped
+    env; up under either counts (the caller runs with the unmodified one).
     """
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=probe_timeout_s,
-            capture_output=True,
-            env=env,
-            cwd=os.path.dirname(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            ),
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    stripped = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    for env in (dict(os.environ), stripped):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s,
+                capture_output=True,
+                env=env,
+                cwd=repo,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            # a hang (not an error) is the relay-down signature; the
+            # second env won't unhang it, but costs one more bounded try
+            pass
+    return False
 
 
 def wait_for_chip(
