@@ -32,6 +32,23 @@ def main(argv=None):
         "of params+moments per device",
     )
     ap.add_argument(
+        "--sp", type=int, default=1, metavar="N",
+        help="sequence-axis size: shard the token axis N-ways over a "
+        "('data','seq') mesh (parallel/tp.py sequence parallelism — one "
+        "stacked-KV all-gather per layer); N must divide max_keypoints",
+    )
+    ap.add_argument(
+        "--pp", type=int, default=1, metavar="N",
+        help="pipeline-axis size: split the transformer stack into N "
+        "GPipe stages over a ('data','pipe') mesh (parallel/tp.py); "
+        "each device holds 1/N of the layer params + Adam moments",
+    )
+    ap.add_argument(
+        "--pp_micro", type=int, default=2, metavar="M",
+        help="microbatches per pipeline step (with --pp); the per-data-"
+        "shard batch must divide M",
+    )
+    ap.add_argument(
         "--packs", default=None, metavar="DIR",
         help="feature-pack directory: batches come from the native C++ "
         "sampler (data/pack_loader.py) instead of the per-item Python "
@@ -130,8 +147,33 @@ def main(argv=None):
         )
 
     param_specs = None
+    apply_fn = None
+    params_transform = None
+    if sum(x > 1 for x in (args.tp, args.sp, args.pp)) > 1:
+        raise SystemExit(
+            "--tp/--sp/--pp are separate layouts here; pick one "
+            "(the composed TP x SP forward is parallel/tp.py:"
+            "make_tp_sp_segnetvit_fn, demo scripts/exp_parallel.py)"
+        )
     if args.no_mesh:
         mesh = None
+    elif args.sp > 1 or args.pp > 1:
+        from pram_tpu.parallel.tp import trainer_parallel_setup
+
+        try:
+            mesh, hooks = trainer_parallel_setup(
+                cfg.network, model.config,
+                sp=args.sp, pp=args.pp, n_micro=args.pp_micro,
+                n_tokens=cfg.max_keypoints, batch_size=cfg.batch_size,
+            )
+        except ValueError as e:
+            raise SystemExit(str(e))
+        apply_fn = hooks["apply_fn"]
+        params_transform = hooks["params_transform"]
+        param_specs = hooks["param_specs"]
+        kind = "sp" if args.sp > 1 else "pp"
+        print(f"{kind}={max(args.sp, args.pp)}: mesh "
+              f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
     elif args.tp > 1:
         from pram_tpu.parallel.mesh import make_mesh
         from pram_tpu.parallel.tp import segnetvit_tp_specs
@@ -174,7 +216,8 @@ def main(argv=None):
     )
     trainer = Trainer(
         model, tcfg, example, save_dir=save_dir, mesh=mesh,
-        param_specs=param_specs,
+        param_specs=param_specs, apply_fn=apply_fn,
+        params_transform=params_transform,
     )
     if cfg.resume_path:
         trainer.restore_checkpoint(cfg.resume_path)

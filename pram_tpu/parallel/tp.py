@@ -963,6 +963,153 @@ def make_sp_gml_fn(mesh: Mesh, config, match_threshold=None):
     )
 
 
+def make_sp_train_apply(mesh: Mesh, config: SegNetViTConfig):
+    """Trainer hook for sequence-parallel training (`--sp` on the train
+    CLI): ``apply_fn(params, batch) -> logits`` wrapping
+    :func:`make_sp_segnetvit_fn` so `train.trainer.make_train_step` can
+    differentiate straight through the shard_map (the all-gather
+    transpose is a reduce-scatter; parameter grads psum over 'seq' and
+    'data' — exactly the DP gradient all-reduce fused with the SP
+    schedule). Loss/optimizer semantics are unchanged from the
+    replicated step (pinned in tests/test_train_parallel.py).
+    """
+    fn = make_sp_segnetvit_fn(mesh, config)
+
+    def apply_fn(params, batch):
+        descs = batch["seg_descriptors"]
+        mask = batch.get("mask")
+        if mask is None:
+            mask = jnp.ones(descs.shape[:2], bool)
+        return fn({"params": params}, descs, batch["norm_keypoints"], mask)
+
+    return apply_fn
+
+
+def make_pp_train_setup(mesh: Mesh, config: SegNetViTConfig, n_micro: int):
+    """Trainer hooks for pipeline-parallel training (`--pp`).
+
+    Returns ``(params_transform, param_specs, apply_fn)``:
+
+    - ``params_transform(params)``: reshape the flax param dict into
+      ``{'stacked': per-layer-stacked gnn params, 'io': the rest}``
+      (:func:`stack_segnetvit_layers`) — the form the GPipe forward
+      consumes and the form the optimizer state shards in.
+    - ``param_specs(params_t)``: PartitionSpec tree — the stacked layer
+      axis ``P('pipe')`` (1/psize of the transformer stack AND its Adam
+      moments per device), io replicated.
+    - ``apply_fn(params, batch) -> logits`` wrapping
+      :func:`make_pp_segnetvit_fn`; grads flow through the ppermute
+      transpose (reverse permute), so the pipeline *trains* — parameter
+      updates are pinned equal to the replicated trainer in
+      tests/test_train_parallel.py.
+
+    adamw is elementwise, so updating the stacked form is exactly
+    updating each layer separately; checkpoint trees saved in this form
+    restore with the same (mesh, n_micro) setup.
+    """
+    fn = make_pp_segnetvit_fn(mesh, config, n_micro)
+
+    def params_transform(params):
+        stacked, io = stack_segnetvit_layers(
+            {"params": params}, config.n_layers
+        )
+        return {"stacked": stacked, "io": io}
+
+    def param_specs(params_t):
+        return {
+            "stacked": jax.tree_util.tree_map(
+                lambda _: P("pipe"), params_t["stacked"]
+            ),
+            "io": jax.tree_util.tree_map(lambda _: P(), params_t["io"]),
+        }
+
+    def apply_fn(params, batch):
+        descs = batch["seg_descriptors"]
+        mask = batch.get("mask")
+        if mask is None:
+            mask = jnp.ones(descs.shape[:2], bool)
+        return fn(
+            params["stacked"], params["io"], descs,
+            batch["norm_keypoints"], mask,
+        )
+
+    return params_transform, param_specs, apply_fn
+
+
+def trainer_parallel_setup(
+    network: str,
+    config,
+    *,
+    sp: int = 1,
+    pp: int = 1,
+    n_micro: int = 2,
+    n_tokens: int = 0,
+    batch_size: int = 0,
+    devices=None,
+):
+    """Validate + build the mesh and trainer hooks for `--sp` / `--pp`.
+
+    The reference wires its only parallelism (DDP) into its train CLI
+    (train.py:64-108); this holds the SP/PP extensions to the same
+    standard. Returns ``(mesh, hooks)`` with hooks =
+    ``{'apply_fn', 'params_transform', 'param_specs'}`` (the latter two
+    None for SP). Raises ValueError (fail-loud, like the --tp no-match
+    check) when the requested layout cannot apply.
+    """
+    import numpy as np
+
+    if (sp > 1) == (pp > 1):
+        raise ValueError("exactly one of --sp/--pp must be > 1 here")
+    if network.lower() != "segnetvit":
+        raise ValueError(
+            f"--sp/--pp are defined for the attention recognizer "
+            f"(segnetvit); got '{network}' (parallel/tp.py formulations)"
+        )
+    if getattr(config, "with_sc", False):
+        raise ValueError("--sp/--pp cover the seg head (with_sc off)")
+
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    size = sp if sp > 1 else pp
+    if devs.size % size:
+        raise ValueError(
+            f"--{'sp' if sp > 1 else 'pp'} {size} does not divide the "
+            f"{devs.size} available devices"
+        )
+    data = devs.size // size
+    grid = devs[: data * size].reshape(data, size)
+
+    if sp > 1:
+        if n_tokens % sp:
+            raise ValueError(
+                f"--sp {sp}: token count {n_tokens} (max_keypoints) must "
+                f"divide the seq axis"
+            )
+        mesh = Mesh(grid, axis_names=("data", "seq"))
+        return mesh, {
+            "apply_fn": make_sp_train_apply(mesh, config),
+            "params_transform": None,
+            "param_specs": None,
+        }
+
+    if config.n_layers % pp:
+        raise ValueError(
+            f"--pp {pp}: n_layers {config.n_layers} must split into "
+            f"equal stages"
+        )
+    if batch_size % data or (batch_size // data) % n_micro:
+        raise ValueError(
+            f"--pp {pp}: batch_size {batch_size} must divide into "
+            f"{data} data shards x {n_micro} microbatches"
+        )
+    mesh = Mesh(grid, axis_names=("data", "pipe"))
+    transform, specs, apply_fn = make_pp_train_setup(mesh, config, n_micro)
+    return mesh, {
+        "apply_fn": apply_fn,
+        "params_transform": transform,
+        "param_specs": specs,
+    }
+
+
 def sp_gml_plan(
     mesh: Mesh,
     config,

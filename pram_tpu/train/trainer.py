@@ -85,6 +85,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     sharded_params: bool = False,
+    apply_fn: Optional[Callable[[Any, Dict[str, jax.Array]], jax.Array]] = None,
 ):
     """Build the jit-compiled DP train step.
 
@@ -101,17 +102,26 @@ def make_train_step(
     follows the state's input shardings instead of forcing replication, so
     a head too large to replicate trains with 1/msize of its params +
     optimizer state per device (tests/test_model_axis.py).
+
+    ``apply_fn(params, batch) -> logits`` replaces the default
+    ``model.apply`` forward — the hook the SP/PP trainer integrations use
+    (parallel/tp.py:trainer_parallel_setup): the shard_map forward sits
+    inside the differentiated loss, loss/optimizer semantics unchanged
+    (tests/test_train_parallel.py pins step-for-step parity).
     """
     tx = make_optimizer(cfg)
 
     def loss_fn(params, batch):
-        out = model.apply(
-            {"params": params},
-            batch["seg_descriptors"],
-            batch["norm_keypoints"],
-            batch.get("mask"),
-        )
-        logits = out["prediction"]
+        if apply_fn is not None:
+            logits = apply_fn(params, batch)
+        else:
+            out = model.apply(
+                {"params": params},
+                batch["seg_descriptors"],
+                batch["norm_keypoints"],
+                batch.get("mask"),
+            )
+            logits = out["prediction"]
         loss = seg_loss_weighted(
             logits,
             batch["gt_seg"],
@@ -165,11 +175,17 @@ def init_train_state(
     rng: Optional[jax.Array] = None,
     mesh: Optional[Mesh] = None,
     param_specs: Any = None,
+    params_transform: Optional[Callable[[Any], Any]] = None,
 ) -> TrainState:
     """Fresh TrainState; with ``mesh`` + ``param_specs`` (a PartitionSpec
     pytree matching params, e.g. parallel/tp.py:segnetvit_tp_specs),
     parameters are placed model-axis-sharded and the Adam moments inherit
-    the sharding through ``tx.init`` (zeros_like preserves placement)."""
+    the sharding through ``tx.init`` (zeros_like preserves placement).
+
+    ``params_transform`` reshapes the freshly-initialized params before
+    placement (the PP integration stacks per-layer params onto a leading
+    layer axis, parallel/tp.py:make_pp_train_setup); ``param_specs`` may
+    then be a callable evaluated on the transformed tree."""
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     variables = model.init(
         rng,
@@ -178,6 +194,10 @@ def init_train_state(
         example_batch.get("mask"),
     )
     params = variables["params"]
+    if params_transform is not None:
+        params = params_transform(params)
+    if callable(param_specs):
+        param_specs = param_specs(params)
     if mesh is not None and param_specs is not None:
         params = jax.tree_util.tree_map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
@@ -217,20 +237,27 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         log_fn: Callable[[str], None] = print,
         param_specs: Any = None,
+        apply_fn: Optional[Callable] = None,
+        params_transform: Optional[Callable] = None,
     ):
         """``param_specs`` (with a ('data','model') mesh): PartitionSpec
         pytree for model-axis-sharded params + optimizer state (e.g.
-        parallel/tp.py:segnetvit_tp_specs)."""
+        parallel/tp.py:segnetvit_tp_specs). ``apply_fn`` /
+        ``params_transform``: the SP/PP trainer hooks
+        (parallel/tp.py:trainer_parallel_setup) — see make_train_step /
+        init_train_state."""
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
         self.save_dir = save_dir
         self.log_fn = log_fn
         self.state = init_train_state(
-            model, cfg, example_batch, mesh=mesh, param_specs=param_specs
+            model, cfg, example_batch, mesh=mesh, param_specs=param_specs,
+            params_transform=params_transform,
         )
         self.step_fn = make_train_step(
-            model, cfg, mesh, sharded_params=param_specs is not None
+            model, cfg, mesh, sharded_params=param_specs is not None,
+            apply_fn=apply_fn,
         )
         self._ckptr = None
         if save_dir is not None:
