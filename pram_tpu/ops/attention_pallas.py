@@ -1006,5 +1006,15 @@ def fused_cross_attention_proj(
             pltpu.VMEM((n, d), x_cat.dtype),
             pltpu.VMEM((n, d), x_cat.dtype),
         ],
+        # the default 16 MiB scoped-vmem cap rejects this kernel at the
+        # full-sweep GML shape (n0=512, n1=1024, d=256, bf16: Mosaic's
+        # stack peaks at 16.42 MiB once the vmapped seg_k axis deepens the
+        # grid and re-enables double-buffered prefetch — the seg_k=1 grid
+        # compiles fine). v5e has 128 MiB VMEM/core; granting 24 MiB keeps
+        # the fused path on the k10 worst-case sweep instead of falling
+        # back to HBM-materialized XLA attention.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x_cat, *w_args, b0, b1)
