@@ -424,6 +424,14 @@ def main():
         ),
         2,
     )
+    # full-sweep MFU: the roofline evidence for the k10 worst case
+    # (VERDICT r4 #4) — if mfu_full_sweep ~ mfu, the sweep is running the
+    # 10x matcher+PnP work at the same hardware efficiency as the
+    # headline path and the gap is FLOPs, not scheduling
+    flops_k10 = compiled_flops(pipeline_k10, key, images)
+    mfu_k10 = mfu_fields(
+        flops_k10 / batch if flops_k10 else None, fps_k10, s8_pf
+    )
 
     # ---- adaptive two-phase API on the all-success workload (on-device
     # lax.cond phase 2): overhead vs the plain k1 step must stay small
@@ -465,6 +473,8 @@ def main():
         "value_adaptive": fps_adaptive,
         "value_loc_only_k1": fps_k1_loc,
         **mfu_out,
+        "full_sweep_flops_per_frame_g": mfu_k10.get("flops_per_frame_g"),
+        "mfu_full_sweep": mfu_k10.get("mfu"),
     }
 
     # ---- image-level guard (VERDICT r3 #1/#7): rendered query IMAGES

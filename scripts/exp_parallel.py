@@ -133,6 +133,28 @@ def main():
     got = jnp.concatenate([rows, dust[:, None, :]], axis=1)
     report("sp matcher (GML+Sinkhorn)", got, gref, hlo, tol=5e-5)
 
+    # sp for the ADAPTIVE matcher (full AdaGML stack; pruning = mask
+    # updates, so stop layers and pruned masks must be exactly equal)
+    from pram_tpu.models.adagml import AdaGML, AdaGMLConfig
+    from pram_tpu.parallel.tp import make_sp_adagml_fn
+
+    acfg = AdaGMLConfig(descriptor_dim=32, hidden_dim=64, num_heads=2,
+                        n_layers=3, sinkhorn_iterations=8, n_min_tokens=8)
+    am = AdaGML(acfg)
+    am0 = jnp.asarray(rng.rand(2, n0) > 0.1)
+    am1 = jnp.asarray(rng.rand(2, n1) > 0.1)
+    av = am.init(jax.random.PRNGKey(2), g0, g1, gk0, gk1, am0, am1)
+    aref = jax.jit(lambda v: am.apply(v, g0, g1, gk0, gk1, am0, am1))(av)
+    fam = jax.jit(make_sp_adagml_fn(mesh_sp, acfg))
+    (rows, dust, stop, fm0, fm1), hlo = run(
+        fam, av, g0, g1, gk0, gk1, am0, am1
+    )
+    got = jnp.concatenate([rows, dust[:, None, :]], axis=1)
+    assert bool(jnp.all(stop == aref["stop_layer"]))
+    assert bool(jnp.all(fm0 == aref["mask0"]))
+    assert bool(jnp.all(fm1 == aref["mask1"]))
+    report("sp adaptive (AdaGML)", got, aref["plan"], hlo, tol=5e-5)
+
     print("ALL PARALLEL MODES OK")
 
 
