@@ -326,17 +326,85 @@ def main():
     ]
     fps = float(np.median(runs))
 
-    # ---- MFU (VERDICT r4 #3): issued flops of the ACTUAL compiled
-    # pipeline from XLA cost analysis, split into s8/bf16 fractions via
-    # the analytic extractor conv table; mfu = fraction of the composite
-    # speed-of-light (pram_tpu/utils/flops.py)
+    # ---- MFU (VERDICT r4 #3): issued flops from XLA cost analysis, split
+    # into s8/bf16 fractions via the analytic extractor conv table;
+    # mfu = fraction of the composite speed-of-light (pram_tpu/utils/flops.py).
+    #
+    # FLOP BASIS (r5): Pallas kernels are custom calls OPAQUE to XLA
+    # cost_analysis, so the real pipeline's issued count undercounts
+    # whenever fused kernels are active — which is the DEFAULT (attention/
+    # MLP/Sinkhorn/stem run fused on TPU). The basis is therefore an
+    # all-XLA twin of the SAME math (fused_attention_disabled + XLA
+    # sinkhorn/stem/NMS), traced but never executed: its issued flops are
+    # what the hardware must do for this pipeline regardless of which
+    # kernel implements each stage. The PnP Pallas kernels stay fused in
+    # the twin (MFLOP-scale per frame, negligible at GFLOP totals). The
+    # compiled program's own (undercounted) figure is kept in
+    # flops_visible_g for transparency.
     from pram_tpu.utils.flops import (
         compiled_flops,
         extractor_issued_flops,
         mfu_fields,
     )
 
+    def xla_twin_flops(seg_k):
+        """Issued flops of the all-XLA formulation at the given seg_k."""
+        from pram_tpu.models.common import fused_attention_disabled
+
+        if use_int8:
+            from pram_tpu.models.sfd2_int8 import Int8ResNet4x
+
+            t_sfd2 = Int8ResNet4x(
+                outdim=sfd2.outdim, use_pallas_stem=False
+            )
+        else:
+            t_sfd2 = ResNet4x(use_pallas_stem=False)
+        t_gml = GML(GMLConfig(use_pallas_sinkhorn=False))
+        t_loc = Localizer(
+            dmap,
+            make_gml_match_fn(t_gml, gvars),
+            dataclasses.replace(cfg, seg_k=seg_k),
+        )
+
+        def t_pipe(k, imgs):
+            feats = extract(
+                t_sfd2, sfd2_vars, imgs.astype(compute_dtype),
+                max_keypoints=n_kpts, conf_th=1e-4, use_pallas_nms=False,
+            )
+            kps = feats["keypoints"]
+            logits = rec.apply(
+                rec_vars,
+                feats["seg_descriptors"],
+                kps.xy / jnp.asarray([width, height], jnp.float32) - 0.5,
+                kps.mask,
+            )["prediction"]
+            return t_loc._step(
+                k, camera, kps.xy, kps.scores.astype(jnp.float32),
+                feats["descriptors"].astype(compute_dtype), kps.mask,
+                logits.astype(jnp.float32),
+            )
+
+        # trace-time env kernel flags must not leak into the twin
+        saved = {
+            k: os.environ.pop(k, None)
+            for k in ("PRAM_INT8_CONV", "PRAM_INT8_MLP", "PRAM_INT8_PROJ")
+        }
+        try:
+            with fused_attention_disabled():
+                return compiled_flops(jax.jit(t_pipe), key, images)
+        finally:
+            for k, v in saved.items():
+                if v is not None:
+                    os.environ[k] = v
+
     flops_batch = compiled_flops(pipeline, key, images)
+    flops_visible = flops_batch
+    try:
+        twin = xla_twin_flops(cfg.seg_k)
+        if twin:
+            flops_batch = twin
+    except Exception:
+        pass  # keep the compiled-program figure; never block the bench
     s8_pf = (
         extractor_issued_flops(height, width)[1] if use_int8 else 0.0
     )
@@ -429,6 +497,12 @@ def main():
     # 10x matcher+PnP work at the same hardware efficiency as the
     # headline path and the gap is FLOPs, not scheduling
     flops_k10 = compiled_flops(pipeline_k10, key, images)
+    try:
+        twin10 = xla_twin_flops(10)
+        if twin10:
+            flops_k10 = twin10
+    except Exception:
+        pass
     mfu_k10 = mfu_fields(
         flops_k10 / batch if flops_k10 else None, fps_k10, s8_pf
     )
@@ -473,6 +547,12 @@ def main():
         "value_adaptive": fps_adaptive,
         "value_loc_only_k1": fps_k1_loc,
         **mfu_out,
+        "flops_visible_g": (
+            round(flops_visible / batch / 1e9, 2) if flops_visible else None
+        ),
+        "flop_basis": (
+            "xla_twin" if flops_batch is not flops_visible else "compiled"
+        ),
         "full_sweep_flops_per_frame_g": mfu_k10.get("flops_per_frame_g"),
         "mfu_full_sweep": mfu_k10.get("mfu"),
     }

@@ -421,8 +421,59 @@ def _mlp_fwd(x, msg, wp, bp, w0, b0, g, be, w3, b3):
     return out, (x, msg, wp, bp, w0, b0, g, be, w3, b3)
 
 
+def mlp_bwd_kernel_enabled() -> bool:
+    """Trace-time flag for the Pallas residual-MLP backward (PRAM_MLP_BWD=1).
+
+    Off by default until chip-validated (same protocol as PRAM_ATTN_BWD);
+    gradient parity vs the autodiff backward is pinned in
+    tests/test_train_vjp.py either way."""
+    import os
+
+    return os.environ.get("PRAM_MLP_BWD", "0") == "1"
+
+
 def _mlp_bwd(res, ct):
-    x = res[0]
+    x, msg, wp, bp, w0, b0, g, be, w3, b3 = res
+    use_kernel = False
+    if mlp_bwd_kernel_enabled():
+        from pram_tpu.ops import mlp_bwd_pallas as mbp
+
+        use_kernel = (
+            jax.default_backend() == "tpu" or mbp._INTERPRET
+        ) and mbp.mlp_bwd_supported(
+            x.shape[1], x.shape[-1], w0.shape[-1], x.dtype.itemsize
+        )
+    if use_kernel:
+        from pram_tpu.ops.mlp_bwd_pallas import fused_residual_mlp_bwd
+
+        d = x.shape[-1]
+        ctc = ct.astype(x.dtype)
+        # msg projection recomputed in XLA (roofline matmul), exactly like
+        # the qkv projection around the attention backward kernel
+        pm = (
+            jnp.einsum(
+                "bnd,df->bnf", msg, wp.astype(msg.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + bp.astype(jnp.float32)
+        ).astype(x.dtype)
+        dx, dpm, dw0x, dw0m, db0, dg, dbe, dw3, db3 = (
+            fused_residual_mlp_bwd(x, pm, w0, b0, g, be, w3, ctc)
+        )
+        dmsg = jnp.einsum(
+            "bnf,df->bnd", dpm, wp.astype(dpm.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(msg.dtype)
+        dwp = jnp.einsum(
+            "bnd,bnf->df", msg, dpm, preferred_element_type=jnp.float32
+        ).astype(wp.dtype)
+        dbp = jnp.sum(dpm.astype(jnp.float32), axis=(0, 1)).astype(bp.dtype)
+        dw0 = jnp.concatenate([dw0x, dw0m], axis=0).astype(w0.dtype)
+        return (
+            dx, dmsg, dwp, dbp, dw0, db0.astype(b0.dtype),
+            dg.astype(g.dtype), dbe.astype(be.dtype),
+            dw3.astype(w3.dtype), db3.astype(b3.dtype),
+        )
     _, vjp_fn = jax.vjp(residual_mlp_ref, *res)
     return vjp_fn(ct.astype(x.dtype))
 

@@ -293,9 +293,12 @@ def main():
         jax.block_until_ready(res.qvec)
         runs.append(round(batch * iters / (time.perf_counter() - t0), 2))
 
-    # MFU (VERDICT r4 #3): issued flops of the compiled pipeline (lowered
-    # cost analysis — no extra compile) against the composite v5e
-    # speed-of-light; nested jits inline under the one outer trace
+    # MFU (VERDICT r4 #3): issued flops against the composite v5e
+    # speed-of-light. FLOP BASIS (r5, matches bench.py): the fused Pallas
+    # kernels are opaque to XLA cost_analysis, so the basis is an all-XLA
+    # twin of the same math (fused_attention_disabled + XLA stem/NMS),
+    # traced but never executed; the compiled program's own figure is the
+    # guarded fallback.
     from pram_tpu.utils.flops import (
         compiled_flops,
         extractor_issued_flops,
@@ -303,11 +306,59 @@ def main():
     )
 
     flops_batch = compiled_flops(jax.jit(pipeline), key, images)
+    flop_basis = "compiled"
+    try:
+        from pram_tpu.models.common import fused_attention_disabled
+        from pram_tpu.models.sfd2 import ResNet4x as _F32Net
+        from pram_tpu.models.sfd2_int8 import Int8ResNet4x as _I8Net
+
+        t_sfd2 = (
+            _I8Net(outdim=sfd2.outdim, use_pallas_stem=False)
+            if use_int8
+            else _F32Net(use_pallas_stem=False)
+        )
+        t_loc = Localizer(smap, make_adagml_match_fn(ada, avars), cfg)
+
+        def t_pipe(k, imgs):
+            feats = extract(
+                t_sfd2, sfd2_vars, imgs.astype(compute_dtype),
+                max_keypoints=n_kpts, conf_th=1e-4, use_pallas_nms=False,
+            )
+            kps = feats["keypoints"]
+            logits = rec.apply(
+                rec_vars,
+                feats["seg_descriptors"],
+                kps.xy / jnp.asarray([width, height], jnp.float32) - 0.5,
+                kps.mask,
+            )["prediction"]
+            return t_loc.localize_batch(
+                k, camera, kps.xy, kps.scores.astype(jnp.float32),
+                feats["descriptors"].astype(compute_dtype), kps.mask,
+                logits.astype(jnp.float32),
+            )
+
+        saved = {
+            k: os.environ.pop(k, None)
+            for k in ("PRAM_INT8_CONV", "PRAM_INT8_MLP", "PRAM_INT8_PROJ")
+        }
+        try:
+            with fused_attention_disabled():
+                twin = compiled_flops(jax.jit(t_pipe), key, images)
+        finally:
+            for k, v in saved.items():
+                if v is not None:
+                    os.environ[k] = v
+        if twin:
+            flops_batch = twin
+            flop_basis = "xla_twin"
+    except Exception:
+        pass  # keep the compiled-program figure; never block the bench
     s8_pf = extractor_issued_flops(height, width)[1] if use_int8 else 0.0
     mfu_out = mfu_fields(
         flops_batch / batch if flops_batch else None,
         float(np.median(runs)), s8_pf,
     )
+    mfu_out["flop_basis"] = flop_basis
 
     out = {
         "metric": "aachen_shape_relocalization_throughput",

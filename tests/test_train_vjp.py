@@ -376,3 +376,134 @@ def test_attention_bwd_kernel_bf16(rng, monkeypatch):
     assert np.abs(np.asarray(gx_bf) - np.asarray(gx_f)).max() / denom < 3e-2
     denom = np.abs(np.asarray(gw_f)).max() + 1e-6
     assert np.abs(np.asarray(gw_bf) - np.asarray(gw_f)).max() / denom < 3e-2
+
+
+def test_mlp_bwd_kernel_matches_autodiff(rng, monkeypatch):
+    """PRAM_MLP_BWD=1 routes the residual-MLP backward through the Pallas
+    kernel (interpret-forced on CPU); all 10 cotangents — x, msg, both
+    projection weight/bias pairs, LN scale/bias, mlp_3 weight/bias — must
+    match autodiff of the XLA reference."""
+    from pram_tpu.ops import mlp_bwd_pallas as mbp
+
+    monkeypatch.setenv("PRAM_MLP_BWD", "1")
+    monkeypatch.setattr(mbp, "_INTERPRET", True)
+
+    b, n, d = 2, 64, 128
+    dh = 2 * d
+    assert mbp.mlp_bwd_supported(n, d, dh, 4)
+    x = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+    msg = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+    wp = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.1)
+    bp = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    w0 = jnp.asarray(rng.randn(2 * d, dh).astype(np.float32) * 0.1)
+    b0 = jnp.asarray(rng.randn(dh).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.rand(dh).astype(np.float32) + 0.5)
+    be = jnp.asarray(rng.randn(dh).astype(np.float32) * 0.1)
+    w3 = jnp.asarray(rng.randn(dh, d).astype(np.float32) * 0.1)
+    b3 = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    ct = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+    args = (x, msg, wp, bp, w0, b0, g, be, w3, b3)
+
+    gw = jax.grad(
+        lambda *a: jnp.sum(residual_mlp(*a) * ct), argnums=tuple(range(10))
+    )(*args)
+    monkeypatch.setenv("PRAM_MLP_BWD", "0")
+    gr = jax.grad(
+        lambda *a: jnp.sum(residual_mlp_ref(*a) * ct),
+        argnums=tuple(range(10)),
+    )(*args)
+    names = ["x", "msg", "wp", "bp", "w0", "b0", "g", "be", "w3", "b3"]
+    for name, a, bg in zip(names, gw, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bg), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )
+
+
+def test_mlp_bwd_kernel_tiled_matches_autodiff(rng, monkeypatch):
+    """Multi-tile grid (n > nt): the cross-tile weight-grad accumulation
+    must still sum every (batch, tile) contribution exactly once."""
+    from pram_tpu.ops import mlp_bwd_pallas as mbp
+
+    monkeypatch.setenv("PRAM_MLP_BWD", "1")
+    monkeypatch.setattr(mbp, "_INTERPRET", True)
+    # force a 2-tile grid at a small n by shrinking the tile picker
+    monkeypatch.setattr(
+        mbp, "_pick_nt", lambda n, d, dh, itemsize: n // 2
+    )
+
+    b, n, d = 2, 64, 128
+    dh = 2 * d
+    x = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+    msg = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+    wp = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.1)
+    bp = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    w0 = jnp.asarray(rng.randn(2 * d, dh).astype(np.float32) * 0.1)
+    b0 = jnp.asarray(rng.randn(dh).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.rand(dh).astype(np.float32) + 0.5)
+    be = jnp.asarray(rng.randn(dh).astype(np.float32) * 0.1)
+    w3 = jnp.asarray(rng.randn(dh, d).astype(np.float32) * 0.1)
+    b3 = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    ct = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+    args = (x, msg, wp, bp, w0, b0, g, be, w3, b3)
+
+    gw = jax.grad(
+        lambda *a: jnp.sum(residual_mlp(*a) * ct), argnums=tuple(range(10))
+    )(*args)
+    monkeypatch.setenv("PRAM_MLP_BWD", "0")
+    gr = jax.grad(
+        lambda *a: jnp.sum(residual_mlp_ref(*a) * ct),
+        argnums=tuple(range(10)),
+    )(*args)
+    for name, a, bg in zip(
+        ["x", "msg", "wp", "bp", "w0", "b0", "g", "be", "w3", "b3"], gw, gr
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bg), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )
+
+
+def test_mlp_bwd_kernel_bf16(rng, monkeypatch):
+    """The MLP backward kernel in bf16 (the on-chip training dtype) stays
+    within mixed-precision tolerance of f32 autodiff."""
+    from pram_tpu.ops import mlp_bwd_pallas as mbp
+
+    monkeypatch.setenv("PRAM_MLP_BWD", "1")
+    monkeypatch.setattr(mbp, "_INTERPRET", True)
+
+    b, n, d = 2, 64, 128
+    dh = 2 * d
+    x32 = rng.randn(b, n, d).astype(np.float32)
+    msg32 = rng.randn(b, n, d).astype(np.float32)
+    wp32 = rng.randn(d, d).astype(np.float32) * 0.1
+    bp32 = rng.randn(d).astype(np.float32) * 0.1
+    w032 = rng.randn(2 * d, dh).astype(np.float32) * 0.1
+    b032 = rng.randn(dh).astype(np.float32) * 0.1
+    g32 = rng.rand(dh).astype(np.float32) + 0.5
+    be32 = rng.randn(dh).astype(np.float32) * 0.1
+    w332 = rng.randn(dh, d).astype(np.float32) * 0.1
+    b332 = rng.randn(d).astype(np.float32) * 0.1
+    ct32 = rng.randn(b, n, d).astype(np.float32)
+
+    def loss(xx, ww, dtype):
+        out = residual_mlp(
+            jnp.asarray(xx, dtype), jnp.asarray(msg32, dtype),
+            jnp.asarray(wp32, dtype), jnp.asarray(bp32, dtype),
+            jnp.asarray(ww, dtype), jnp.asarray(b032, dtype),
+            jnp.asarray(g32, dtype), jnp.asarray(be32, dtype),
+            jnp.asarray(w332, dtype), jnp.asarray(b332, dtype),
+        )
+        return jnp.sum(out.astype(jnp.float32) * ct32)
+
+    gx_bf, gw_bf = jax.grad(
+        lambda xx, ww: loss(xx, ww, jnp.bfloat16), argnums=(0, 1)
+    )(x32, w032)
+    monkeypatch.setenv("PRAM_MLP_BWD", "0")
+    gx_f, gw_f = jax.grad(
+        lambda xx, ww: loss(xx, ww, jnp.float32), argnums=(0, 1)
+    )(x32, w032)
+    denom = np.abs(np.asarray(gx_f)).max() + 1e-6
+    assert np.abs(np.asarray(gx_bf) - np.asarray(gx_f)).max() / denom < 3e-2
+    denom = np.abs(np.asarray(gw_f)).max() + 1e-6
+    assert np.abs(np.asarray(gw_bf) - np.asarray(gw_f)).max() / denom < 3e-2
