@@ -26,8 +26,9 @@ is exactly the HBM traffic of the attention interior.
 Split-blocked (GML's two-sided token concatenation) and rotary-free
 variants mirror ops/attention_pallas._blocked_self_attention.
 
-Enabled with PRAM_ATTN_BWD=1 (off until chip-validated); gradient parity
-vs the autodiff backward is pinned in tests/test_train_vjp.py.
+Default ON since the r5 chip validation (train step 11.375 -> 16.276
+steps/s, on-chip grad parity 0.9% with trained weights); PRAM_ATTN_BWD=0
+restores the autodiff backward, parity pinned in tests/test_train_vjp.py.
 Reference being beaten: torch autograd attention training,
 nets/segnetvit.py:44-107.
 """

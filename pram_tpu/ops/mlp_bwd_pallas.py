@@ -27,8 +27,10 @@ like the qkv projection in the attention backward: one recompute matmul
 forward, roofline matmuls for dmsg/dwp — the win here is the HBM traffic
 of the MLP interior, not the projections.
 
-Enabled with PRAM_MLP_BWD=1 (off until chip-validated); gradient parity
-vs the autodiff backward is pinned in tests/test_train_vjp.py.
+Default ON since the r5 chip validation (with the attention backward:
+17.263 steps/s vs 11.375 XLA baseline, on-chip grad parity 0.9% with
+trained weights); PRAM_MLP_BWD=0 restores the autodiff backward, parity
+pinned in tests/test_train_vjp.py.
 Reference being beaten: torch autograd through the MLP tail of
 nets/segnetvit.py:99-106 / nets/gml.py:130-139.
 """

@@ -130,13 +130,17 @@ def _self_attn_fwd(x, wp, bp, cos, sin, bias, scale, heads, splits, rotary):
 
 
 def attn_bwd_kernel_enabled() -> bool:
-    """Trace-time flag for the Pallas attention backward (PRAM_ATTN_BWD=1).
+    """Trace-time flag for the Pallas attention backward (PRAM_ATTN_BWD).
 
-    Off by default until chip-validated; gradient parity vs the autodiff
-    backward is pinned in tests/test_train_vjp.py either way."""
+    Default ON since the r5 chip validation: on-chip gradient parity with
+    trained weights at 0.9% max relative deviation (bf16 tolerance,
+    scripts/exp_bwd_parity_chip.py) and train step 11.375 -> 16.276
+    steps/s (+43%, scripts/bench_train.py A/B). PRAM_ATTN_BWD=0 restores
+    the autodiff-XLA backward; parity vs it is pinned in
+    tests/test_train_vjp.py."""
     import os
 
-    return os.environ.get("PRAM_ATTN_BWD", "0") == "1"
+    return os.environ.get("PRAM_ATTN_BWD", "1") == "1"
 
 
 def _self_attn_bwd(scale, heads, splits, rotary, res, g):
@@ -422,14 +426,17 @@ def _mlp_fwd(x, msg, wp, bp, w0, b0, g, be, w3, b3):
 
 
 def mlp_bwd_kernel_enabled() -> bool:
-    """Trace-time flag for the Pallas residual-MLP backward (PRAM_MLP_BWD=1).
+    """Trace-time flag for the Pallas residual-MLP backward (PRAM_MLP_BWD).
 
-    Off by default until chip-validated (same protocol as PRAM_ATTN_BWD);
-    gradient parity vs the autodiff backward is pinned in
-    tests/test_train_vjp.py either way."""
+    Default ON since the r5 chip validation: on-chip gradient parity with
+    trained weights at 0.9% max relative deviation and train step +5.8%
+    alone / 17.263 steps/s (+51.8%) combined with the attention backward
+    (scripts/bench_train.py A/B). PRAM_MLP_BWD=0 restores the
+    autodiff-XLA backward; parity vs it is pinned in
+    tests/test_train_vjp.py."""
     import os
 
-    return os.environ.get("PRAM_MLP_BWD", "0") == "1"
+    return os.environ.get("PRAM_MLP_BWD", "1") == "1"
 
 
 def _mlp_bwd(res, ct):
