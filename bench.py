@@ -597,6 +597,7 @@ def _bench_env_flags():
         for k in (
             "BENCH_INT8", "BENCH_BATCH", "PRAM_INT8_MLP",
             "PRAM_INT8_PROJ", "PRAM_INT8_CONV", "PRAM_ATTN_BWD",
+            "PRAM_MLP_BWD",
         )
         if os.environ.get(k)
     }

@@ -144,6 +144,11 @@ def run_chip():
                 "with_augmentation": True,
                 "compute_dtype": "f32" if train_dtype is None else "bf16",
                 "extractor_int8": use_int8,
+                # backward-kernel config (both default ON since r5)
+                "attn_bwd_kernel": os.environ.get("PRAM_ATTN_BWD", "1")
+                == "1",
+                "mlp_bwd_kernel": os.environ.get("PRAM_MLP_BWD", "1")
+                == "1",
                 "backend": jax.default_backend(),
             }
         )

@@ -66,9 +66,13 @@ echo "=== bench.py PRAM_INT8_MLP=1 PRAM_INT8_PROJ=1 ==="
 PRAM_INT8_MLP=1 PRAM_INT8_PROJ=1 timeout 3600 python bench.py 2>&1 | tail -1 > "$OUT/bench_int8mm.json"
 tail -1 "$OUT/bench_int8mm.json"
 
-echo "=== bench_train PRAM_ATTN_BWD=1 ==="
-PRAM_ATTN_BWD=1 timeout 3600 python scripts/bench_train.py 2>&1 | tail -1 > "$OUT/train_attnbwd.json"
-tail -1 "$OUT/train_attnbwd.json"
+echo "=== bench_train PRAM_ATTN_BWD=0 PRAM_MLP_BWD=0 (XLA-bwd ablation; kernels default ON since r5) ==="
+PRAM_ATTN_BWD=0 PRAM_MLP_BWD=0 timeout 3600 python scripts/bench_train.py 2>&1 | tail -1 > "$OUT/train_xlabwd.json"
+tail -1 "$OUT/train_xlabwd.json"
+
+echo "=== on-chip grad parity for the backward kernels ==="
+timeout 1800 python scripts/exp_bwd_parity_chip.py 2>&1 | tail -1 > "$OUT/bwd_parity.json"
+tail -1 "$OUT/bwd_parity.json"
 
 echo "=== profile_stages PRAM_INT8_CONV=1 ==="
 PRAM_INT8_CONV=1 timeout 3600 python scripts/profile_stages.py 2>&1 | tail -30 > "$OUT/stages_int8conv.txt"
