@@ -347,8 +347,30 @@ def main():
         mfu_fields,
     )
 
+    # twin flop counts are deterministic in (config, shapes) — cache the
+    # VALUES so cold containers don't pay the twins' two extra compiles
+    # (client-side lowered.cost_analysis() returns None on this backend,
+    # so compiled_flops must compile; ~200-500 s each when cold)
+    twin_cache_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "weights",
+        "twin_flops.json",
+    )
+    try:
+        with open(twin_cache_path) as f:
+            _twin_cache = json.load(f)
+    except (OSError, ValueError):
+        _twin_cache = {}
+
     def xla_twin_flops(seg_k):
         """Issued flops of the all-XLA formulation at the given seg_k."""
+        import jax as _jax
+
+        ck = (
+            f"v1-{_jax.__version__}-int8={int(use_int8)}-k={seg_k}"
+            f"-b={batch}-n={n_kpts}-{height}x{width}"
+        )
+        if ck in _twin_cache:
+            return _twin_cache[ck]
         from pram_tpu.models.common import fused_attention_disabled
 
         if use_int8:
@@ -391,11 +413,21 @@ def main():
         }
         try:
             with fused_attention_disabled():
-                return compiled_flops(jax.jit(t_pipe), key, images)
+                val = compiled_flops(jax.jit(t_pipe), key, images)
         finally:
             for k, v in saved.items():
                 if v is not None:
                     os.environ[k] = v
+        if val:
+            _twin_cache[ck] = val
+            try:
+                tmp = twin_cache_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(_twin_cache, f)
+                os.replace(tmp, twin_cache_path)
+            except OSError:
+                pass
+        return val
 
     flops_batch = compiled_flops(pipeline, key, images)
     flops_visible = flops_batch
