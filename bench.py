@@ -348,9 +348,10 @@ def main():
     )
 
     # twin flop counts are deterministic in (config, shapes) — cache the
-    # VALUES so cold containers don't pay the twins' two extra compiles
-    # (client-side lowered.cost_analysis() returns None on this backend,
-    # so compiled_flops must compile; ~200-500 s each when cold)
+    # VALUES so cold containers skip the twins' two extra traces. v2 keys:
+    # compiled_flops now counts on a CPU lowering (client-side, no
+    # compile) because the chip plugin's cost analysis drops attention
+    # matmuls (utils/flops.py); v1 chip-counted values are stale.
     twin_cache_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "weights",
         "twin_flops.json",
@@ -366,7 +367,7 @@ def main():
         import jax as _jax
 
         ck = (
-            f"v1-{_jax.__version__}-int8={int(use_int8)}-k={seg_k}"
+            f"v2cpu-{_jax.__version__}-int8={int(use_int8)}-k={seg_k}"
             f"-b={batch}-n={n_kpts}-{height}x{width}"
         )
         if ck in _twin_cache:

@@ -531,7 +531,9 @@ def refine_projection_core(
         refine_nn_supported,
     )
 
-    if jax.default_backend() == "tpu" and refine_nn_supported(
+    from pram_tpu.utils.pallas_gate import tpu_pallas_ok
+
+    if tpu_pallas_ok() and refine_nn_supported(
         kpts.shape[0], pdesc.shape[0], descs.shape[-1],
         descs.dtype.itemsize,
     ):

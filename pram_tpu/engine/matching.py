@@ -42,8 +42,43 @@ def make_gml_match_fn(model, variables, threshold: float = 0.2) -> MatchFn:
     return fn
 
 
-def make_adagml_match_fn(model, variables, threshold: float = 0.2) -> MatchFn:
-    """AdaGML matcher closure (localization/matchers/adagml.py)."""
+def make_adagml_match_fn(
+    model,
+    variables,
+    threshold: float = 0.2,
+    early_exit: Optional[bool] = None,
+) -> MatchFn:
+    """AdaGML matcher closure (localization/matchers/adagml.py).
+
+    ``early_exit`` (default on, ``PRAM_ADA_EXIT=0`` disables) runs the
+    batched while-loop formulation (models/adagml.py:
+    adagml_batched_adaptive_apply): identical plan to the unrolled module,
+    but layers after the point where every element has early-stopped are
+    actually SKIPPED — the reference's adaptive compute saving
+    (nets/adagml.py:522-531), which the unrolled static-shape module
+    spends anyway. Inference-only (while_loop has no reverse-mode); the
+    trainer differentiates the module directly, not this closure.
+    """
+    import os
+
+    if early_exit is None:
+        early_exit = os.environ.get("PRAM_ADA_EXIT", "1") == "1"
+    cfg = getattr(model, "config", None)
+    if early_exit and cfg is not None and cfg.adaptive:
+        from pram_tpu.models.adagml import (
+            adagml_batched_adaptive_apply,
+            stack_adagml_layers,
+        )
+
+        stacked = stack_adagml_layers(variables, cfg.n_layers)
+
+        def fn(d0, nk0, s0, m0, d1, nk1, s1, m1):
+            out = adagml_batched_adaptive_apply(
+                stacked, d0, d1, nk0, nk1, m0, m1, cfg
+            )
+            return mutual_matches(out["plan"], threshold).matches0
+
+        return fn
 
     def fn(d0, nk0, s0, m0, d1, nk1, s1, m1):
         out = model.apply(variables, d0, d1, nk0, nk1, m0, m1)

@@ -486,8 +486,9 @@ def ransac_pnp(
     # hypothesis scoring: fused VMEM kernel on TPU (the XLA broadcast
     # materializes [4K, N, 3] intermediates in HBM — ops/pnp_pallas.py)
     from pram_tpu.ops.pnp_pallas import ransac_score_pallas, score_supported
+    from pram_tpu.utils.pallas_gate import tpu_pallas_ok
 
-    if jax.default_backend() == "tpu" and score_supported(
+    if tpu_pallas_ok() and score_supported(
         Rf.shape[0], n
     ):
         counts = ransac_score_pallas(
@@ -505,7 +506,7 @@ def ransac_pnp(
 
     # LO + graduated polish: one fused kernel on TPU (the XLA chain below
     # is ~20 GN iterations of tiny ops with HBM round trips between them)
-    if jax.default_backend() == "tpu":
+    if tpu_pallas_ok():
         from pram_tpu.ops.pnp_pallas import gn_polish_pallas
 
         R_p, t_p, num_inl, inliers = gn_polish_pallas(

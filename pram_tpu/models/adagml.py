@@ -500,6 +500,149 @@ def stack_adagml_layers(variables, n_layers: int = 9):
     }
 
 
+def adagml_batched_adaptive_apply(
+    stacked,
+    desc0: jax.Array,  # [B, N, D]
+    desc1: jax.Array,  # [B, M, D]
+    norm_kpts0: jax.Array,
+    norm_kpts1: jax.Array,
+    mask0: Optional[jax.Array] = None,
+    mask1: Optional[jax.Array] = None,
+    cfg: AdaGMLConfig = AdaGMLConfig(),
+) -> dict:
+    """Batched AdaGML that actually SKIPS layers once every element stops.
+
+    The unrolled module (AdaGML.__call__) evaluates all ``n_layers`` at the
+    full static shape and freezes stopped elements with ``jnp.where`` — on
+    the Aachen operating point (4096x2048 tokens) that wastes most of the
+    matcher's FLOPs: with the trained Aachen weights every query stops at
+    layer 2 and pruning leaves ~8%/17% of tokens alive
+    (scripts/exp_adagml_prune.py), yet 9 full-shape layers run. The
+    reference recovers this compute by literally shrinking tensors and
+    breaking the loop (nets/adagml.py:344-374, 522-531) — untraceable
+    under XLA. This formulation is the TPU-native middle ground: a
+    ``lax.while_loop`` over stacked layer parameters whose condition is
+    "some element still running", with per-element freezing identical to
+    the unrolled module. Produces the SAME plan / masks / stop_layer as
+    ``AdaGML.__call__`` for the same inputs (tests/test_adagml_exit.py):
+    layers after the all-stop point only ever feed frozen ``jnp.where``
+    lanes and the (output-irrelevant) confidence heads, so skipping them
+    is exact.
+
+    Inference-only: ``lax.while_loop`` is not reverse-differentiable;
+    training uses the unrolled module (which needs the per-layer
+    confidences as supervision targets anyway).
+    """
+    b, n0, _ = desc0.shape
+    n1 = desc1.shape[1]
+    head_dim = cfg.hidden_dim // cfg.num_heads
+    if mask0 is None:
+        mask0 = jnp.ones((b, n0), bool)
+    if mask1 is None:
+        mask1 = jnp.ones((b, n1), bool)
+    orig_total = jnp.sum(mask0.astype(jnp.float32), -1) + jnp.sum(
+        mask1.astype(jnp.float32), -1
+    )
+
+    dense = nn.Dense(cfg.hidden_dim)
+    x0 = dense.apply({"params": stacked["input_proj"]}, desc0)
+    x1 = dense.apply({"params": stacked["input_proj"]}, desc1)
+    pe = LearnableFourierPE(f_dim=head_dim)
+    enc0 = pe.apply({"params": stacked["poseenc"]}, norm_kpts0)
+    enc1 = pe.apply({"params": stacked["poseenc"]}, norm_kpts1)
+
+    sa = _SelfAttnStats(cfg.hidden_dim, cfg.hidden_dim, cfg.num_heads)
+    ca = _CrossAttnStats(cfg.hidden_dim, cfg.hidden_dim, cfg.num_heads)
+    pool = PoolingLayer(cfg.hidden_dim)
+    thresholds = jnp.asarray(
+        [confidence_threshold(i, cfg.n_layers) for i in range(cfg.n_layers)],
+        jnp.float32,
+    )
+
+    def layer_step(carry):
+        x0, x1, m0, m1, ni, stopped, stop_layer = carry
+        sl = lambda t: jax.tree_util.tree_map(lambda a: a[ni], t)
+        p_sa = sl(stacked["self_attn"])
+        p_ca = sl(stacked["cross_attn"])
+        p_po = sl(stacked["pooling"])
+        nx0, s00 = sa.apply({"params": p_sa}, x0, enc0, m0)
+        nx1, s11 = sa.apply({"params": p_sa}, x1, enc1, m1)
+        nx0, nx1, s01, s10 = ca.apply({"params": p_ca}, nx0, nx1, m0, m1)
+        conf0 = pool.apply({"params": p_po}, nx0, jnp.stack([s00, s01], -1))
+        conf1 = pool.apply({"params": p_po}, nx1, jnp.stack([s11, s10], -1))
+
+        # freeze stopped elements (models/adagml.py batched module semantics)
+        keep = stopped[:, None, None]
+        x0 = jnp.where(keep, x0, nx0)
+        x1 = jnp.where(keep, x1, nx1)
+
+        if cfg.adaptive:
+            th = thresholds[ni]
+            do_prune = ni >= 1
+            cnt0 = jnp.sum(m0.astype(jnp.int32), -1)
+            cnt1 = jnp.sum(m1.astype(jnp.int32), -1)
+            prune0 = do_prune & (cnt0 >= cfg.n_min_tokens) & ~stopped
+            prune1 = do_prune & (cnt1 >= cfg.n_min_tokens) & ~stopped
+            below = jnp.sum(
+                ((conf0 < th) & m0).astype(jnp.float32), -1
+            ) + jnp.sum(((conf1 < th) & m1).astype(jnp.float32), -1)
+            m0 = jnp.where(prune0[:, None], m0 & (conf0 > th), m0)
+            m1 = jnp.where(prune1[:, None], m1 & (conf1 > th), m1)
+            pos = 1.0 - below / jnp.maximum(orig_total, 1.0)
+            now_stop = do_prune & (pos > cfg.stop_ratio)
+            stop_layer = jnp.where(~stopped & now_stop, ni, stop_layer)
+            stopped = stopped | now_stop
+        return (x0, x1, m0, m1, ni + 1, stopped, stop_layer)
+
+    def cond(carry):
+        *_, ni, stopped, _sl = carry
+        return (ni < cfg.n_layers) & ~jnp.all(stopped)
+
+    x0f, x1f, m0f, m1f, _, _, stop_layer = jax.lax.while_loop(
+        cond,
+        layer_step,
+        (
+            x0, x1, mask0, mask1, jnp.asarray(0),
+            jnp.zeros((b,), bool),
+            jnp.full((b,), cfg.n_layers - 1, jnp.int32),
+        ),
+    )
+
+    # per-element out_proj[stop_layer]: a parameter gather instead of the
+    # module's one-hot contraction — same selected values (the one-hot's
+    # other terms are exact zeros), one projection instead of n_layers
+    d = x0f.shape[-1]
+    opk = stacked["out_proj"]["kernel"][stop_layer]  # [B, H, H]
+    opb = stacked["out_proj"]["bias"][stop_layer]  # [B, H]
+    md0 = (
+        jnp.einsum(
+            "bnd,bdh->bnh", x0f, opk.astype(x0f.dtype)
+        )
+        + opb.astype(x0f.dtype)[:, None]
+    ) / d**0.25
+    md1 = (
+        jnp.einsum(
+            "bmd,bdh->bmh", x1f, opk.astype(x1f.dtype)
+        )
+        + opb.astype(x1f.dtype)[:, None]
+    ) / d**0.25
+    sim = jnp.einsum(
+        "bnd,bmd->bnm", md0, md1, preferred_element_type=jnp.float32
+    )
+    if cfg.with_sinkhorn:
+        plan = sinkhorn_matching(
+            sim, stacked["bin_score"], cfg.sinkhorn_iterations, m0f, m1f
+        )
+    else:
+        plan = dual_softmax_matching(sim, stacked["bin_score"], m0f, m1f)
+    return {
+        "plan": plan,
+        "mask0": m0f,
+        "mask1": m1f,
+        "stop_layer": stop_layer,
+    }
+
+
 def adagml_online_apply(
     stacked,
     desc0: jax.Array,  # [1, N, D]

@@ -115,7 +115,9 @@ def use_fused_attention(*token_counts: int) -> bool:
     """
     if _FUSED_OVERRIDE is False:
         return False
-    if jax.default_backend() != "tpu":
+    from pram_tpu.utils.pallas_gate import tpu_pallas_ok
+
+    if not tpu_pallas_ok():
         return False
     if token_counts:
         from pram_tpu.ops.attention_pallas import fused_attention_supported
@@ -146,7 +148,9 @@ def int8_proj_enabled() -> bool:
     gated by the image-level recall guard."""
     import os
 
-    return os.environ.get("PRAM_INT8_PROJ", "0") == "1"
+    from pram_tpu.utils.pallas_gate import pallas_ok
+
+    return pallas_ok() and os.environ.get("PRAM_INT8_PROJ", "0") == "1"
 
 
 def int8_mlp_enabled() -> bool:
@@ -160,7 +164,9 @@ def int8_mlp_enabled() -> bool:
     """
     import os
 
-    return os.environ.get("PRAM_INT8_MLP", "0") == "1"
+    from pram_tpu.utils.pallas_gate import pallas_ok
+
+    return pallas_ok() and os.environ.get("PRAM_INT8_MLP", "0") == "1"
 
 
 def mask_to_bias(mask: Optional[jax.Array], b: int, n: int) -> jax.Array:

@@ -111,7 +111,9 @@ class GML(nn.Module):
         )
         dustbin = self.param("bin_score", nn.initializers.ones, ())
         if cfg.with_sinkhorn:
-            if cfg.use_pallas_sinkhorn and jax.default_backend() == "tpu":
+            from pram_tpu.utils.pallas_gate import tpu_pallas_ok
+
+            if cfg.use_pallas_sinkhorn and tpu_pallas_ok():
                 from pram_tpu.ops.sinkhorn_pallas import sinkhorn_matching_pallas
 
                 plan = sinkhorn_matching_pallas(

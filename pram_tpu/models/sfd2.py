@@ -301,7 +301,9 @@ class ResNet4x(nn.Module):
         )
         if self.use_pallas_stem is not None:
             return self.use_pallas_stem and shapes_ok
-        return shapes_ok and jax.default_backend() == "tpu"
+        from pram_tpu.utils.pallas_gate import tpu_pallas_ok
+
+        return shapes_ok and tpu_pallas_ok()
 
     @nn.compact
     def __call__(self, image: jax.Array) -> dict:
@@ -424,7 +426,9 @@ def extract(
     score_map = out["score_map"]
     nms_ok = score_map.shape[1] % 8 == 0 and nms_radius > 0
     if use_pallas_nms is None:
-        use_pallas_nms = jax.default_backend() == "tpu"
+        from pram_tpu.utils.pallas_gate import tpu_pallas_ok
+
+        use_pallas_nms = tpu_pallas_ok()
     if use_pallas_nms and nms_ok:
         from pram_tpu.ops.nms_pallas import simple_nms_pallas
 

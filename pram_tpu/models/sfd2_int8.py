@@ -69,7 +69,10 @@ def _use_conv_kernel(x, cout, strides) -> bool:
     if strides not in ((1, 1), (2, 2)) or not int8_conv_enabled():
         return False
     from pram_tpu.ops import conv_int8_pallas as cip
+    from pram_tpu.utils.pallas_gate import pallas_ok
 
+    if not pallas_ok():
+        return False
     if jax.default_backend() != "tpu" and not cip._INTERPRET:
         return False
     gate = (
@@ -134,10 +137,12 @@ class Int8ResNet4x:
     def _stem(self, qp, image):
         h, w = image.shape[1], image.shape[2]
         stem_ok = image.shape[-1] == 3 and h % 16 == 0 and w % 2 == 0
+        from pram_tpu.utils.pallas_gate import pallas_ok, tpu_pallas_ok
+
         use = (
-            self.use_pallas_stem
+            (self.use_pallas_stem and pallas_ok())
             if self.use_pallas_stem is not None
-            else jax.default_backend() == "tpu"
+            else tpu_pallas_ok()
         )
         if use and stem_ok:
             from pram_tpu.ops.stem_pallas import fused_stem

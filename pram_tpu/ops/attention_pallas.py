@@ -630,6 +630,15 @@ def _cross_attention_dir(
             jax.ShapeDtypeStruct((b, nq, d), qk_q.dtype),
             jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
         ),
+        # Same scoped-vmem headroom as the projection kernel below: at the
+        # AdaGML Aachen shape (Nq=4096, M=2048, d=256, bf16) Mosaic's stack
+        # peaks at 17.41 MiB over the default 16 MiB cap when the grid is
+        # deep enough for double-buffered prefetch (observed on a
+        # standalone jit of the matcher; the composed bench pipeline
+        # happened to schedule under the cap). v5e has 128 MiB VMEM/core.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(qk_q, qk_k, v_k, bq, bq[:, 0, :, None], bk)
     return msg, stat[:, 0, :]

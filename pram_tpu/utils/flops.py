@@ -38,13 +38,64 @@ V5E_BF16_PEAK = 197e12  # FLOP/s
 V5E_S8_PEAK = 394e12  # OP/s (2x bf16 on the MXU)
 
 
-def compiled_flops(jitted, *args) -> Optional[float]:
-    """Issued flops of the compiled program for ``jitted(*args)``.
+def _extract_flops(ca) -> Optional[float]:
+    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+        ca = ca[0]
+    f = ca.get("flops")
+    if f and f > 0:
+        return float(f)
+    return None
 
-    Returns None when the backend's cost analysis is unavailable (some
-    PJRT plugins do not implement it) — callers then skip the MFU fields
-    rather than report a made-up number.
+
+def compiled_flops(jitted, *args) -> Optional[float]:
+    """Issued flops of the program for ``jitted(*args)``.
+
+    COUNTING BACKEND (r5): the program is re-lowered for the CPU backend
+    (args swapped for CPU-sharded ShapeDtypeStructs) and counted with the
+    client-side ``lowered.cost_analysis()`` — no compile needed. Two
+    reasons, both measured on the relay chip:
+
+    - the chip PJRT plugin's cost analysis silently DROPS the attention
+      ``N x N`` matmuls: 31.7 vs 355.9 GF/frame on the 4096-token
+      recognizer twin (11x undercount) — every MFU computed from the
+      chip-side count was inflated-basis-wrong;
+    - Pallas custom calls are opaque to cost analysis on any backend, so
+      the count must come from an all-XLA trace anyway. Mosaic kernels
+      refuse to lower for CPU, so the CPU lowering runs under
+      ``pallas_disabled()`` (utils/pallas_gate.py), forcing every kernel
+      gate — including ``default_backend()=="tpu"`` checks that stay true
+      in a chip process — to its XLA fallback. Dot/conv flop counts are
+      backend-independent (2*M*N*K), so the CPU count IS the TPU count of
+      the XLA formulation.
+
+    Falls back to the old default-device lowering + compile when the CPU
+    path fails; returns None when no backend can count — callers then
+    skip the MFU fields rather than report a made-up number.
     """
+    import jax
+
+    from pram_tpu.utils.pallas_gate import pallas_disabled
+
+    try:
+        from jax.sharding import SingleDeviceSharding
+
+        sh = SingleDeviceSharding(jax.devices("cpu")[0])
+
+        def to_struct(a):
+            if hasattr(a, "shape") and hasattr(a, "dtype"):
+                return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh)
+            return a
+
+        cpu_args = jax.tree_util.tree_map(to_struct, args)
+        with pallas_disabled():
+            lowered = jitted.lower(*cpu_args)
+        f = _extract_flops(lowered.cost_analysis())
+        if f:
+            return f
+    except Exception:
+        pass
+
+    # fallback: whatever the default backend reports (may undercount)
     try:
         lowered = jitted.lower(*args)
     except Exception:
@@ -54,12 +105,9 @@ def compiled_flops(jitted, *args) -> Optional[float]:
         lambda: lowered.compile().cost_analysis(),
     ):
         try:
-            ca = get()
-            if isinstance(ca, (list, tuple)):  # older jax returns [dict]
-                ca = ca[0]
-            f = ca.get("flops")
-            if f and f > 0:
-                return float(f)
+            f = _extract_flops(get())
+            if f:
+                return f
         except Exception:
             continue
     return None

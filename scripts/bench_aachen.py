@@ -317,7 +317,11 @@ def main():
             if use_int8
             else _F32Net(use_pallas_stem=False)
         )
-        t_loc = Localizer(smap, make_adagml_match_fn(ada, avars), cfg)
+        # twin localizes against the UNSHARDED map: identical math minus
+        # the shard_map collectives (flop-free), and a mesh of chip
+        # devices cannot be lowered for the CPU counting backend
+        # (utils/flops.compiled_flops counts on a CPU lowering)
+        t_loc = Localizer(dmap, make_adagml_match_fn(ada, avars), cfg)
 
         def t_pipe(k, imgs):
             feats = extract(

@@ -22,6 +22,53 @@ def test_compiled_flops_matches_matmul():
     assert abs(f - 2 * 128 * 512 * 256) / (2 * 128 * 512 * 256) < 0.1
 
 
+def test_compiled_flops_counts_attention_matmuls():
+    """Regression for the chip-backend undercount (r5): the counting
+    backend must include the N x N attention dots, which the relay
+    plugin's cost analysis silently dropped (31.7 vs 355.9 GF/frame on
+    the 4096-token recognizer twin). compiled_flops counts on a CPU
+    lowering, so softmax(QK^T)V must cost >= 2 * 2*N*N*D."""
+    n, d = 1024, 128
+    q = jnp.zeros((1, n, d), jnp.float32)
+
+    def attn(q, k, v):
+        s = jnp.einsum("bnd,bmd->bnm", q, k)
+        return jnp.einsum("bnm,bmd->bnd", jax.nn.softmax(s, axis=-1), v)
+
+    f = compiled_flops(jax.jit(attn), q, q, q)
+    assert f is not None
+    assert f >= 2 * (2 * n * n * d)  # both N^2 matmuls present
+
+
+def test_pallas_disabled_forces_gates_off():
+    from pram_tpu.utils.pallas_gate import (
+        pallas_disabled,
+        pallas_ok,
+        tpu_pallas_ok,
+    )
+
+    assert pallas_ok()
+    with pallas_disabled():
+        assert not pallas_ok()
+        assert not tpu_pallas_ok()
+        # the model-level gates must follow (they pick Mosaic kernels,
+        # which cannot lower for the CPU counting backend)
+        from pram_tpu.models.common import (
+            int8_mlp_enabled,
+            int8_proj_enabled,
+            use_fused_attention,
+        )
+
+        assert not use_fused_attention()
+        assert not int8_proj_enabled()
+        assert not int8_mlp_enabled()
+        # nesting restores correctly
+        with pallas_disabled():
+            assert not pallas_ok()
+        assert not pallas_ok()
+    assert pallas_ok()
+
+
 def test_extractor_table_sane():
     bf16, s8 = extractor_issued_flops(480, 640)
     total = bf16 + s8
